@@ -1,0 +1,698 @@
+"""OSM PBF PrimitiveBlock / HeaderBlock codec ⇄ numpy struct-of-arrays.
+
+Clean-room implementation of the public OSM PBF format (wiki.openstreetmap.org
+/wiki/PBF_Format; field numbers as in /root/reference/internal/pb/osm.proto).
+Decode semantics mirror the reference decoder
+(/root/reference/internal/decoder/primitive.go):
+
+- per-block string table, index 0 reserved empty (osm.proto:121-124)
+- DenseNodes id/lat/lon are delta coded → ``np.cumsum`` here
+  (primitive.go:89-101 does the scalar equivalent)
+- keys_vals interleaved k,v string-ids with 0 terminator per node
+  (primitive.go:262-294)
+- DenseInfo timestamp/changeset/uid/user_sid delta coded; ``visible``
+  defaults true when absent (primitive.go:195-260)
+- degrees = (offset + granularity * coord) / 1e9 (model/types.go:106-110)
+- timestamps = value * date_granularity milliseconds (primitive.go:310-314)
+
+Encode mirrors the reference encoder (/root/reference/internal/encoder/
+primitive.go): granularity 100, offsets 0, date_granularity 1000, sorted
+block-local string table with "" at index 0, sorted tag keys, ≤8000
+entities per block (EntityLimit, primitive.go:38-41).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .proto import WT_LEN, WT_VARINT, MessageBuilder, parse_message, scan_fields
+from .varint import (
+    decode_varints,
+    encode_varints,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+ENTITY_LIMIT = 8000  # osmosis-compatible block size (encoder/primitive.go:38-41)
+DEFAULT_GRANULARITY = 100
+DEFAULT_DATE_GRANULARITY = 1000
+
+NODE, WAY, RELATION = 0, 1, 2
+MEMBER_TYPE_NAMES = np.array(["node", "way", "relation"], dtype=object)
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+_EMPTY_I32 = np.empty(0, dtype=np.int32)
+
+
+def _to_i64(u: np.ndarray) -> np.ndarray:
+    return u.astype(np.int64, copy=False) if u.dtype != np.int64 else u
+
+
+@dataclass
+class InfoSoA:
+    """Parallel metadata arrays; one slot per entity (has_info gates nulls)."""
+
+    version: np.ndarray  # int32, -1 when absent
+    ts_ms: np.ndarray  # int64 epoch millis (already × date_granularity)
+    has_ts: np.ndarray  # bool
+    changeset: np.ndarray  # int64
+    has_changeset: np.ndarray
+    uid: np.ndarray  # int32
+    has_uid: np.ndarray
+    user_sid: np.ndarray  # int64 string-table ids
+    visible: np.ndarray  # bool (default True when absent on wire)
+    has_info: np.ndarray  # bool
+
+    @staticmethod
+    def empty(n: int) -> "InfoSoA":
+        return InfoSoA(
+            version=np.full(n, -1, dtype=np.int32),
+            ts_ms=np.zeros(n, dtype=np.int64),
+            has_ts=np.zeros(n, dtype=bool),
+            changeset=np.zeros(n, dtype=np.int64),
+            has_changeset=np.zeros(n, dtype=bool),
+            uid=np.zeros(n, dtype=np.int32),
+            has_uid=np.zeros(n, dtype=bool),
+            user_sid=np.zeros(n, dtype=np.int64),
+            visible=np.ones(n, dtype=bool),
+            has_info=np.zeros(n, dtype=bool),
+        )
+
+
+@dataclass
+class EntitySoA:
+    """One entity type's rows within a block, in file order."""
+
+    id: np.ndarray = field(default_factory=lambda: _EMPTY_I64)
+    # tags: ragged → offsets into flat string-id arrays
+    tag_off: np.ndarray = field(default_factory=lambda: np.zeros(1, dtype=np.int64))
+    tag_key: np.ndarray = field(default_factory=lambda: _EMPTY_I64)
+    tag_val: np.ndarray = field(default_factory=lambda: _EMPTY_I64)
+    info: InfoSoA | None = None
+    # nodes: raw wire coordinates (granularity units); convert with nano_degrees()
+    lat_coord: np.ndarray | None = None
+    lon_coord: np.ndarray | None = None
+    # ways
+    ref_off: np.ndarray | None = None
+    refs: np.ndarray | None = None
+    # relations
+    mem_off: np.ndarray | None = None
+    mem_ref: np.ndarray | None = None
+    mem_type: np.ndarray | None = None  # int8 enum 0/1/2
+    mem_role: np.ndarray | None = None  # string ids
+
+    def __len__(self) -> int:
+        return int(self.id.size)
+
+
+@dataclass
+class BlockSoA:
+    strings: np.ndarray  # object array of str
+    granularity: int
+    lat_offset: int
+    lon_offset: int
+    date_granularity: int
+    nodes: EntitySoA
+    ways: EntitySoA
+    relations: EntitySoA
+
+
+# --------------------------------------------------------------------------
+# decode
+# --------------------------------------------------------------------------
+
+
+def _decode_string_table(buf: memoryview) -> np.ndarray:
+    vals = [bytes(v).decode("utf-8") for f, _wt, v in scan_fields(buf) if f == 1]
+    return np.array(vals if vals else [""], dtype=object)
+
+
+def _decode_info(buf: memoryview, date_granularity: int, soa: InfoSoA, i: int) -> None:
+    for f, _wt, v in scan_fields(buf):
+        if f == 1:
+            soa.version[i] = np.int32(np.uint32(v & 0xFFFFFFFF))
+        elif f == 2:
+            soa.ts_ms[i] = v * date_granularity
+            soa.has_ts[i] = True
+        elif f == 3:
+            soa.changeset[i] = np.int64(np.uint64(v))
+        elif f == 4:
+            soa.uid[i] = np.int32(np.uint32(v & 0xFFFFFFFF))
+            soa.has_uid[i] = True
+        elif f == 5:
+            soa.user_sid[i] = v
+        elif f == 6:
+            soa.visible[i] = bool(v)
+    soa.has_info[i] = True
+    soa.has_changeset[i] = True
+
+
+def _kv_to_ragged(kv: np.ndarray, n_nodes: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Interleaved 0-terminated keys_vals → (offsets, keys, vals) string-ids."""
+    if kv.size == 0:
+        return np.zeros(n_nodes + 1, dtype=np.int64), _EMPTY_I64, _EMPTY_I64
+    zero_pos = np.flatnonzero(kv == 0)
+    if zero_pos.size != n_nodes:
+        raise ValueError(f"keys_vals has {zero_pos.size} terminators for {n_nodes} nodes")
+    seg_start = np.concatenate(([-1], zero_pos[:-1]))
+    counts = (zero_pos - seg_start - 1) // 2
+    off = np.zeros(n_nodes + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    pairs = kv[kv != 0]
+    return off, _to_i64(pairs[0::2]), _to_i64(pairs[1::2])
+
+
+def _decode_dense_nodes(buf: memoryview, date_granularity: int) -> EntitySoA:
+    ids = lats = lons = _EMPTY_I64
+    kv = _EMPTY_I64
+    dense_info_buf: memoryview | None = None
+    for f, _wt, v in scan_fields(buf):
+        if f == 1:
+            ids = zigzag_decode(decode_varints(v))
+        elif f == 8:
+            lats = zigzag_decode(decode_varints(v))
+        elif f == 9:
+            lons = zigzag_decode(decode_varints(v))
+        elif f == 10:
+            kv = _to_i64(decode_varints(v))
+        elif f == 5:
+            dense_info_buf = v
+    n = ids.size
+    soa = EntitySoA(
+        id=np.cumsum(ids),
+        lat_coord=np.cumsum(lats),
+        lon_coord=np.cumsum(lons),
+    )
+    soa.tag_off, soa.tag_key, soa.tag_val = _kv_to_ragged(kv, n)
+    if dense_info_buf is not None:
+        info = InfoSoA.empty(n)
+        for f, _wt, v in scan_fields(dense_info_buf):
+            if f == 1:
+                info.version = decode_varints(v).astype(np.int32)
+            elif f == 2:
+                info.ts_ms = np.cumsum(zigzag_decode(decode_varints(v))) * date_granularity
+                info.has_ts[:] = True
+            elif f == 3:
+                info.changeset = np.cumsum(zigzag_decode(decode_varints(v)))
+                info.has_changeset[:] = True
+            elif f == 4:
+                info.uid = np.cumsum(zigzag_decode(decode_varints(v))).astype(np.int32)
+                info.has_uid[:] = True
+            elif f == 5:
+                info.user_sid = np.cumsum(zigzag_decode(decode_varints(v)))
+            elif f == 6:
+                vis = decode_varints(v)
+                if vis.size == n:
+                    info.visible = vis.astype(bool)
+        info.has_info[:] = True
+        soa.info = info
+    return soa
+
+
+def _decode_plain_nodes(bufs: list[memoryview], date_granularity: int) -> EntitySoA:
+    n = len(bufs)
+    ids = np.zeros(n, dtype=np.int64)
+    lats = np.zeros(n, dtype=np.int64)
+    lons = np.zeros(n, dtype=np.int64)
+    keys: list[np.ndarray] = []
+    vals: list[np.ndarray] = []
+    counts = np.zeros(n, dtype=np.int64)
+    info = InfoSoA.empty(n)
+    any_info = False
+    for i, buf in enumerate(bufs):
+        for f, wt, v in scan_fields(buf):
+            if f == 1:
+                ids[i] = zigzag_decode(np.array([v], dtype=np.uint64))[0]
+            elif f == 7:
+                lats[i] = zigzag_decode(np.array([v], dtype=np.uint64))[0]
+            elif f == 8:
+                lons[i] = zigzag_decode(np.array([v], dtype=np.uint64))[0]
+            elif f == 9:
+                k = _to_i64(decode_varints(v)) if wt == WT_LEN else np.array([v], np.int64)
+                keys.append(k)
+                counts[i] += k.size
+            elif f == 10:
+                vals.append(_to_i64(decode_varints(v)) if wt == WT_LEN else np.array([v], np.int64))
+            elif f == 11:
+                _decode_info(v, date_granularity, info, i)
+                any_info = True
+    soa = EntitySoA(id=ids, lat_coord=lats, lon_coord=lons)
+    soa.tag_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=soa.tag_off[1:])
+    soa.tag_key = np.concatenate(keys) if keys else _EMPTY_I64
+    soa.tag_val = np.concatenate(vals) if vals else _EMPTY_I64
+    if any_info:
+        soa.info = info
+    return soa
+
+
+def _decode_ways(bufs: list[memoryview], date_granularity: int) -> EntitySoA:
+    n = len(bufs)
+    ids = np.zeros(n, dtype=np.int64)
+    tag_counts = np.zeros(n, dtype=np.int64)
+    ref_counts = np.zeros(n, dtype=np.int64)
+    keys: list[np.ndarray] = []
+    vals: list[np.ndarray] = []
+    refs: list[np.ndarray] = []
+    info = InfoSoA.empty(n)
+    any_info = False
+    for i, buf in enumerate(bufs):
+        for f, wt, v in scan_fields(buf):
+            if f == 1:
+                ids[i] = v if v < 2**63 else v - 2**64
+            elif f == 2:
+                k = _to_i64(decode_varints(v)) if wt == WT_LEN else np.array([v], np.int64)
+                keys.append(k)
+                tag_counts[i] += k.size
+            elif f == 3:
+                vals.append(_to_i64(decode_varints(v)) if wt == WT_LEN else np.array([v], np.int64))
+            elif f == 4:
+                _decode_info(v, date_granularity, info, i)
+                any_info = True
+            elif f == 8:
+                r = np.cumsum(zigzag_decode(decode_varints(v)))
+                refs.append(r)
+                ref_counts[i] += r.size
+    soa = EntitySoA(id=ids)
+    soa.tag_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tag_counts, out=soa.tag_off[1:])
+    soa.tag_key = np.concatenate(keys) if keys else _EMPTY_I64
+    soa.tag_val = np.concatenate(vals) if vals else _EMPTY_I64
+    soa.ref_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ref_counts, out=soa.ref_off[1:])
+    soa.refs = np.concatenate(refs) if refs else _EMPTY_I64
+    if any_info:
+        soa.info = info
+    return soa
+
+
+def _decode_relations(bufs: list[memoryview], date_granularity: int) -> EntitySoA:
+    n = len(bufs)
+    ids = np.zeros(n, dtype=np.int64)
+    tag_counts = np.zeros(n, dtype=np.int64)
+    mem_counts = np.zeros(n, dtype=np.int64)
+    keys: list[np.ndarray] = []
+    vals: list[np.ndarray] = []
+    roles: list[np.ndarray] = []
+    memids: list[np.ndarray] = []
+    types: list[np.ndarray] = []
+    info = InfoSoA.empty(n)
+    any_info = False
+    for i, buf in enumerate(bufs):
+        for f, wt, v in scan_fields(buf):
+            if f == 1:
+                ids[i] = v if v < 2**63 else v - 2**64
+            elif f == 2:
+                k = _to_i64(decode_varints(v)) if wt == WT_LEN else np.array([v], np.int64)
+                keys.append(k)
+                tag_counts[i] += k.size
+            elif f == 3:
+                vals.append(_to_i64(decode_varints(v)) if wt == WT_LEN else np.array([v], np.int64))
+            elif f == 4:
+                _decode_info(v, date_granularity, info, i)
+                any_info = True
+            elif f == 8:
+                roles.append(_to_i64(decode_varints(v)))
+            elif f == 9:
+                m = np.cumsum(zigzag_decode(decode_varints(v)))
+                memids.append(m)
+                mem_counts[i] += m.size
+            elif f == 10:
+                t = decode_varints(v).astype(np.int8)
+                if (t > 2).any():
+                    raise ValueError("unknown relation member type")
+                types.append(t)
+    soa = EntitySoA(id=ids)
+    soa.tag_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tag_counts, out=soa.tag_off[1:])
+    soa.tag_key = np.concatenate(keys) if keys else _EMPTY_I64
+    soa.tag_val = np.concatenate(vals) if vals else _EMPTY_I64
+    soa.mem_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(mem_counts, out=soa.mem_off[1:])
+    soa.mem_ref = np.concatenate(memids) if memids else _EMPTY_I64
+    soa.mem_role = np.concatenate(roles) if roles else _EMPTY_I64
+    soa.mem_type = np.concatenate(types) if types else np.empty(0, dtype=np.int8)
+    if soa.mem_type.size != soa.mem_ref.size or soa.mem_role.size != soa.mem_ref.size:
+        raise ValueError("relation member parallel arrays disagree")
+    if any_info:
+        soa.info = info
+    return soa
+
+
+def _concat_entity(parts: list[EntitySoA]) -> EntitySoA:
+    if len(parts) == 1:
+        return parts[0]
+    out = EntitySoA(id=np.concatenate([p.id for p in parts]))
+    out.tag_key = np.concatenate([p.tag_key for p in parts])
+    out.tag_val = np.concatenate([p.tag_val for p in parts])
+    offs = [parts[0].tag_off]
+    base = parts[0].tag_off[-1]
+    for p in parts[1:]:
+        offs.append(p.tag_off[1:] + base)
+        base += p.tag_off[-1]
+    out.tag_off = np.concatenate(offs)
+
+    def _cat(attr):
+        vals = [getattr(p, attr) for p in parts]
+        return None if vals[0] is None else np.concatenate(vals)
+
+    out.lat_coord = _cat("lat_coord")
+    out.lon_coord = _cat("lon_coord")
+    out.refs = _cat("refs")
+    out.mem_ref = _cat("mem_ref")
+    out.mem_type = _cat("mem_type")
+    out.mem_role = _cat("mem_role")
+    for off_attr in ("ref_off", "mem_off"):
+        if getattr(parts[0], off_attr) is not None:
+            offs = [getattr(parts[0], off_attr)]
+            base = offs[0][-1]
+            for p in parts[1:]:
+                o = getattr(p, off_attr)
+                offs.append(o[1:] + base)
+                base += o[-1]
+            setattr(out, off_attr, np.concatenate(offs))
+    if any(p.info is not None for p in parts):
+        infos = [p.info if p.info is not None else InfoSoA.empty(len(p)) for p in parts]
+        out.info = InfoSoA(
+            **{
+                f_: np.concatenate([getattr(x, f_) for x in infos])
+                for f_ in InfoSoA.__dataclass_fields__
+            }
+        )
+    return out
+
+
+def parse_primitive_block(raw: bytes) -> BlockSoA:
+    """Decode an (already uncompressed) PrimitiveBlock into SoA form.
+
+    Mirrors parsePrimitiveBlock (/root/reference/internal/decoder/
+    primitive.go:27-44): all groups emitted in file order, grouped by type.
+    """
+    fields = parse_message(raw)
+    strings = _decode_string_table(fields[1][0]) if 1 in fields else np.array([""], object)
+    granularity = fields.get(17, [DEFAULT_GRANULARITY])[0]
+    lat_offset = fields.get(19, [0])[0]
+    lon_offset = fields.get(20, [0])[0]
+    date_granularity = fields.get(18, [DEFAULT_DATE_GRANULARITY])[0]
+
+    node_parts: list[EntitySoA] = []
+    way_parts: list[EntitySoA] = []
+    rel_parts: list[EntitySoA] = []
+    for group_buf in fields.get(2, []):
+        plain_nodes: list[memoryview] = []
+        ways: list[memoryview] = []
+        rels: list[memoryview] = []
+        for f, _wt, v in scan_fields(group_buf):
+            if f == 1:
+                plain_nodes.append(v)
+            elif f == 2:
+                node_parts.append(_decode_dense_nodes(v, date_granularity))
+            elif f == 3:
+                ways.append(v)
+            elif f == 4:
+                rels.append(v)
+        if plain_nodes:
+            node_parts.append(_decode_plain_nodes(plain_nodes, date_granularity))
+        if ways:
+            way_parts.append(_decode_ways(ways, date_granularity))
+        if rels:
+            rel_parts.append(_decode_relations(rels, date_granularity))
+
+    def merge(parts: list[EntitySoA]) -> EntitySoA:
+        return _concat_entity(parts) if parts else EntitySoA()
+
+    return BlockSoA(
+        strings=strings,
+        granularity=int(granularity),
+        lat_offset=int(lat_offset),
+        lon_offset=int(lon_offset),
+        date_granularity=int(date_granularity),
+        nodes=merge(node_parts),
+        ways=merge(way_parts),
+        relations=merge(rel_parts),
+    )
+
+
+def nano_degrees(coord: np.ndarray, offset: int, granularity: int) -> np.ndarray:
+    """Wire coordinate → full nano-degrees (int64, bit-exact tile math)."""
+    return offset + granularity * coord
+
+
+def to_degrees(nano: np.ndarray) -> np.ndarray:
+    """Nano-degrees → decimal degrees (model/types.go:106-110)."""
+    return nano.astype(np.float64) * 1e-9
+
+
+# --------------------------------------------------------------------------
+# encode (fixture generator / PBF sink)
+# --------------------------------------------------------------------------
+
+
+class StringTable:
+    """Block-local sorted dictionary, "" reserved at index 0.
+
+    Mirrors /root/reference/internal/encoder/table.go:20-84.
+    """
+
+    def __init__(self) -> None:
+        self._seen: set[str] = set()
+
+    def add(self, *values: str) -> None:
+        self._seen.update(values)
+
+    def add_array(self, values) -> None:
+        self._seen.update(values)
+
+    def build(self) -> tuple[list[str], dict[str, int]]:
+        table = [""] + sorted(self._seen - {""})
+        return table, {s: i for i, s in enumerate(table)}
+
+
+def _delta(vals: np.ndarray) -> np.ndarray:
+    """Delta encode (inverse of cumsum) — calcDeltas (encoder/primitive.go:267-280)."""
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    out = v.copy()
+    out[1:] = v[1:] - v[:-1]
+    return out
+
+
+def _encode_info(
+    b: MessageBuilder,
+    field_no: int,
+    version: int,
+    ts_ms: int | None,
+    changeset: int | None,
+    uid: int | None,
+    user_sid: int | None,
+    visible: bool,
+    date_granularity: int,
+) -> None:
+    info = MessageBuilder()
+    info.varint(1, version & 0xFFFFFFFF if version >= 0 else (1 << 64) - 1)
+    if ts_ms is not None:
+        info.varint(2, ts_ms // date_granularity)
+    if changeset is not None:
+        info.varint(3, changeset)
+    if uid is not None:
+        info.varint(4, uid)
+    if user_sid is not None:
+        info.varint(5, user_sid)
+    if not visible:
+        info.varint(6, 0)
+    b.message(field_no, info)
+
+
+def build_dense_nodes_group(
+    ids: np.ndarray,
+    lat_nano: np.ndarray,
+    lon_nano: np.ndarray,
+    tags: list[list[tuple[str, str]]] | None,
+    sid: dict[str, int],
+    info: dict | None = None,
+    granularity: int = DEFAULT_GRANULARITY,
+    date_granularity: int = DEFAULT_DATE_GRANULARITY,
+) -> MessageBuilder:
+    """DenseNodes group — extractDenseNodes (encoder/primitive.go:126-187)."""
+    dense = MessageBuilder()
+    lat_coord = np.asarray(lat_nano, np.int64) // granularity
+    lon_coord = np.asarray(lon_nano, np.int64) // granularity
+    dense.bytes_field(1, encode_varints(zigzag_encode(_delta(ids))))
+    if info is not None:
+        di = MessageBuilder()
+        di.bytes_field(1, encode_varints(np.asarray(info["version"], np.uint64)))
+        di.bytes_field(
+            2,
+            encode_varints(
+                zigzag_encode(_delta(np.asarray(info["ts_ms"], np.int64) // date_granularity))
+            ),
+        )
+        di.bytes_field(3, encode_varints(zigzag_encode(_delta(info["changeset"]))))
+        di.bytes_field(4, encode_varints(zigzag_encode(_delta(info["uid"]))))
+        di.bytes_field(
+            5,
+            encode_varints(
+                zigzag_encode(_delta(np.array([sid[u] for u in info["user"]], np.int64)))
+            ),
+        )
+        if "visible" in info:
+            di.bytes_field(6, encode_varints(np.asarray(info["visible"], np.uint64)))
+        dense.message(5, di)
+    dense.bytes_field(8, encode_varints(zigzag_encode(_delta(lat_coord))))
+    dense.bytes_field(9, encode_varints(zigzag_encode(_delta(lon_coord))))
+    if tags is not None:
+        kv: list[int] = []
+        for node_tags in tags:
+            for k, v in sorted(node_tags):
+                kv.append(sid[k])
+                kv.append(sid[v])
+            kv.append(0)
+        dense.bytes_field(10, encode_varints(np.array(kv, dtype=np.uint64)))
+    group = MessageBuilder()
+    group.message(2, dense)
+    return group
+
+
+def _tag_fields(b: MessageBuilder, kf: int, vf: int, tags: list[tuple[str, str]], sid) -> None:
+    if not tags:
+        return
+    st = sorted(tags)
+    b.bytes_field(kf, encode_varints(np.array([sid[k] for k, _ in st], np.uint64)))
+    b.bytes_field(vf, encode_varints(np.array([sid[v] for _, v in st], np.uint64)))
+
+
+def build_ways_group(ways: list[dict], sid: dict[str, int], date_granularity: int = DEFAULT_DATE_GRANULARITY) -> MessageBuilder:
+    """Ways group — extractWays (encoder/primitive.go:189-215)."""
+    group = MessageBuilder()
+    for w in ways:
+        wb = MessageBuilder()
+        wb.varint(1, w["id"])
+        _tag_fields(wb, 2, 3, w.get("tags", []), sid)
+        if w.get("info"):
+            i = w["info"]
+            _encode_info(wb, 4, i.get("version", -1), i.get("ts_ms"), i.get("changeset"), i.get("uid"), sid.get(i.get("user", "")), i.get("visible", True), date_granularity)
+        wb.bytes_field(8, encode_varints(zigzag_encode(_delta(np.asarray(w["refs"], np.int64)))))
+        group.message(3, wb)
+    return group
+
+
+def build_relations_group(rels: list[dict], sid: dict[str, int], date_granularity: int = DEFAULT_DATE_GRANULARITY) -> MessageBuilder:
+    """Relations group — extractRelations (encoder/primitive.go:217-248)."""
+    group = MessageBuilder()
+    for r in rels:
+        rb = MessageBuilder()
+        rb.varint(1, r["id"])
+        _tag_fields(rb, 2, 3, r.get("tags", []), sid)
+        if r.get("info"):
+            i = r["info"]
+            _encode_info(rb, 4, i.get("version", -1), i.get("ts_ms"), i.get("changeset"), i.get("uid"), sid.get(i.get("user", "")), i.get("visible", True), date_granularity)
+        members = r.get("members", [])
+        if members:
+            rb.bytes_field(8, encode_varints(np.array([sid[m["role"]] for m in members], np.uint64)))
+            rb.bytes_field(
+                9,
+                encode_varints(
+                    zigzag_encode(_delta(np.array([m["ref"] for m in members], np.int64)))
+                ),
+            )
+            rb.bytes_field(
+                10, encode_varints(np.array([m["type"] for m in members], np.uint64))
+            )
+        group.message(4, rb)
+    return group
+
+
+def build_primitive_block(
+    groups: list[MessageBuilder],
+    string_table: list[str],
+    granularity: int = DEFAULT_GRANULARITY,
+    date_granularity: int = DEFAULT_DATE_GRANULARITY,
+) -> bytes:
+    block = MessageBuilder()
+    st = MessageBuilder()
+    for s in string_table:
+        st.string(1, s)
+    block.message(1, st)
+    for g in groups:
+        block.message(2, g)
+    if granularity != DEFAULT_GRANULARITY:
+        block.varint(17, granularity)
+    if date_granularity != DEFAULT_DATE_GRANULARITY:
+        block.varint(18, date_granularity)
+    return block.tobytes()
+
+
+# --------------------------------------------------------------------------
+# HeaderBlock
+# --------------------------------------------------------------------------
+
+SUPPORTED_FEATURES = frozenset({"OsmSchema-V0.6", "DenseNodes", "HistoricalInformation"})
+
+
+@dataclass
+class Header:
+    bbox_nano: tuple[int, int, int, int] | None = None  # left, right, top, bottom
+    required_features: tuple[str, ...] = ()
+    optional_features: tuple[str, ...] = ()
+    writing_program: str = ""
+    source: str = ""
+    replication_ts: int | None = None
+    replication_seqno: int | None = None
+    replication_url: str = ""
+
+    @property
+    def bbox_degrees(self) -> dict | None:
+        if self.bbox_nano is None:
+            return None
+        l, r, t, b = self.bbox_nano
+        return {"left": l * 1e-9, "right": r * 1e-9, "top": t * 1e-9, "bottom": b * 1e-9}
+
+
+def parse_header_block(raw: bytes) -> Header:
+    """Decode HeaderBlock — LoadHeader (decoder/header.go:29-71)."""
+    fields = parse_message(raw)
+    h = Header()
+    if 1 in fields:
+        bb = parse_message(fields[1][0])
+        zz = lambda u: (u >> 1) ^ -(u & 1)
+        h.bbox_nano = (zz(bb[1][0]), zz(bb[2][0]), zz(bb[3][0]), zz(bb[4][0]))
+    h.required_features = tuple(bytes(v).decode() for v in fields.get(4, []))
+    h.optional_features = tuple(bytes(v).decode() for v in fields.get(5, []))
+    if 16 in fields:
+        h.writing_program = bytes(fields[16][0]).decode()
+    if 17 in fields:
+        h.source = bytes(fields[17][0]).decode()
+    if 32 in fields:
+        h.replication_ts = fields[32][0]
+    if 33 in fields:
+        h.replication_seqno = fields[33][0]
+    if 34 in fields:
+        h.replication_url = bytes(fields[34][0]).decode()
+    unsupported = set(h.required_features) - SUPPORTED_FEATURES
+    if unsupported:
+        raise ValueError(f"unsupported required features: {sorted(unsupported)}")
+    return h
+
+
+def build_header_block(h: Header) -> bytes:
+    b = MessageBuilder()
+    if h.bbox_nano is not None:
+        bb = MessageBuilder()
+        l, r, t, bot = h.bbox_nano
+        bb.svarint(1, l).svarint(2, r).svarint(3, t).svarint(4, bot)
+        b.message(1, bb)
+    for fnum, feats in ((4, h.required_features), (5, h.optional_features)):
+        for feat in feats:
+            b.string(fnum, feat)
+    if h.writing_program:
+        b.string(16, h.writing_program)
+    if h.source:
+        b.string(17, h.source)
+    if h.replication_ts is not None:
+        b.varint(32, h.replication_ts)
+    if h.replication_seqno is not None:
+        b.varint(33, h.replication_seqno)
+    if h.replication_url:
+        b.string(34, h.replication_url)
+    return b.tobytes()
