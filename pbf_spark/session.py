@@ -1,0 +1,50 @@
+"""SparkSession factory with the engine's scale-aware defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pbf_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a session.
+
+    Defaults tuned for the engine:
+    - AQE on (runtime coalesce + skew-join split — B8's backstop)
+    - Arrow batches capped at 256 blob rows: decode input rows carry
+      ~0.1-1 MB payloads, so the default 10k-records batch would hold
+      gigabytes in one Arrow chunk
+    - shuffle partitions sized to cores locally (cluster deployments
+      override via spark-submit conf; AQE coalesces the excess)
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        n = master.removeprefix("local[").removesuffix("]")
+        shuffle_partitions = (os.cpu_count() or 8) if n == "*" else int(n) if n.isdigit() else 64
+        shuffle_partitions = max(shuffle_partitions, 8)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -105,20 +105,32 @@ def unpack_blob(blob_bytes: bytes) -> bytes:
     return decompress_payload(codec, payload, raw_size)
 
 
-def pack_blob(raw: bytes, codec: str = "zlib") -> bytes:
-    """Raw block bytes → Blob proto — Pack (encoder/packer.go:41-87)."""
+def compress_payload(raw: bytes, codec: str = "zlib") -> bytes:
+    """Compress raw block bytes with the given codec."""
+    if codec == "raw":
+        return raw
+    if codec == "zlib":
+        return zlib.compress(raw)
+    if codec == "lzma":
+        return lzma.compress(raw)
+    raise ValueError(f"unsupported write codec {codec}")
+
+
+def build_blob(codec: str, raw_size: int, payload: bytes) -> bytes:
+    """Assemble a Blob proto from an already-compressed payload."""
     b = MessageBuilder()
     if codec == "raw":
-        b.bytes_field(_F_RAW, raw)
-    elif codec == "zlib":
-        b.varint(_F_RAW_SIZE, len(raw))
-        b.bytes_field(_F_ZLIB, zlib.compress(raw))
-    elif codec == "lzma":
-        b.varint(_F_RAW_SIZE, len(raw))
-        b.bytes_field(_F_LZMA, lzma.compress(raw))
-    else:
-        raise ValueError(f"unsupported write codec {codec}")
+        b.bytes_field(_F_RAW, payload)
+        return b.tobytes()
+    b.varint(_F_RAW_SIZE, raw_size)
+    field = {"zlib": _F_ZLIB, "lzma": _F_LZMA, "lz4": _F_LZ4, "zstd": _F_ZSTD}[codec]
+    b.bytes_field(field, payload)
     return b.tobytes()
+
+
+def pack_blob(raw: bytes, codec: str = "zlib") -> bytes:
+    """Raw block bytes → Blob proto — Pack (encoder/packer.go:41-87)."""
+    return build_blob(codec, len(raw), compress_payload(raw, codec))
 
 
 def frame_blob(blob_type: str, blob_bytes: bytes) -> bytes:

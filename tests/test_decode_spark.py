@@ -1,0 +1,123 @@
+"""End-to-end Spark decode tests: documents table → entity DataFrame.
+
+Mirrors the reference's golden-count strategy (SURVEY.md §5): fixture
+manifest counts are the contract; sample.osm.pbf carries the reference's
+own 339-entity golden (decoder_test.go:32).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pbf_spark.operators import decode
+from pbf_spark.sources import iceberg_lite, pbf_file
+
+from .conftest import SAMPLE_PBF
+
+
+@pytest.fixture(scope="module")
+def entities(spark, fixture_dir):
+    docs = iceberg_lite.read_table(spark, fixture_dir / "documents_interleaved")
+    blobs = iceberg_lite.read_table(spark, fixture_dir / "media_blobs")
+    df = decode.decode_documents(docs, blobs).cache()
+    df.count()
+    return df
+
+
+def test_golden_counts(entities, fixture_manifest):
+    got = {r["entity_type"]: r["n"] for r in decode.count_by_type(entities).collect()}
+    assert got == fixture_manifest["counts"]
+
+
+def test_sample_pbf_file_golden(spark):
+    hdr = pbf_file.load_header(SAMPLE_PBF)
+    assert hdr.bbox_degrees["top"] == pytest.approx(51.7668597, abs=1e-9)
+    ents = decode.decode_blobs(pbf_file.read_blob_table(spark, SAMPLE_PBF))
+    got = {r["entity_type"]: r["n"] for r in decode.count_by_type(ents).collect()}
+    assert got == {"node": 290, "way": 44, "relation": 5}  # info_integration_test.go analogue
+
+
+def test_node_fields(entities, fixture_manifest):
+    bbox = fixture_manifest["bbox"]
+    stats = entities.filter("entity_type='node'").agg(
+        F.min("lat").alias("min_lat"),
+        F.max("lat").alias("max_lat"),
+        F.min("lon").alias("min_lon"),
+        F.max("lon").alias("max_lon"),
+        F.count(F.when(F.col("lat").isNull(), 1)).alias("null_lat"),
+        F.count(F.when(F.col("info").isNull(), 1)).alias("null_info"),
+        F.sum(F.when(~F.col("info.visible"), 1).otherwise(0)).alias("invisible"),
+    ).first()
+    assert stats["null_lat"] == 0 and stats["null_info"] == 0
+    assert stats["min_lat"] >= bbox["bottom"] - 1e-6
+    assert stats["max_lat"] <= bbox["top"] + 1e-6
+    assert stats["min_lon"] >= bbox["left"] - 1e-6
+    assert stats["max_lon"] <= bbox["right"] + 1e-6
+    assert stats["invisible"] > 0  # HistoricalInformation path exercised
+
+
+def test_lat_nano_bit_exact(entities):
+    """lat == lat_nano * 1e-9 exactly (nano-degree fixed point carried through)."""
+    bad = entities.filter("entity_type='node'").filter(
+        (F.col("lat") != F.col("lat_nano") * F.lit(1e-9))
+        | (F.col("lon") != F.col("lon_nano") * F.lit(1e-9))
+    )
+    assert bad.count() == 0
+
+
+def test_way_and_relation_shape(entities):
+    ways = entities.filter("entity_type='way'")
+    assert ways.filter(F.size("refs") < 2).count() == 0
+    assert ways.filter(F.col("lat").isNotNull()).count() == 0
+    rels = entities.filter("entity_type='relation'")
+    member_types = {
+        r["t"]
+        for r in rels.select(F.explode("members").alias("m"))
+        .select(F.col("m.type").alias("t"))
+        .distinct()
+        .collect()
+    }
+    assert member_types <= {"node", "way", "relation"}
+
+
+def test_tags_sorted_by_key(entities):
+    """Tags array is key-sorted (canonical form for deterministic digests)."""
+    unsorted = entities.filter(F.size("tags") > 1).filter(
+        F.exists(
+            F.zip_with(
+                F.slice(F.col("tags.key"), 1, F.size("tags") - 1),
+                F.slice(F.col("tags.key"), 2, F.size("tags") - 1),
+                lambda a, b: a > b,
+            ),
+            lambda x: x,
+        )
+    )
+    assert unsorted.count() == 0
+
+
+def test_provenance_roundtrip(entities, spark, fixture_dir):
+    """Every entity row traces back to exactly one media span of its doc —
+    and the span sequence itself is untouched by decode (read-only input)."""
+    docs = iceberg_lite.read_table(spark, fixture_dir / "documents_interleaved")
+    spans = docs.select("doc_id", F.posexplode("spans").alias("span_idx", "span"))
+    media = spans.filter(F.col("span.kind") == "media").select("doc_id", "span_idx")
+    orphans = entities.join(media, ["doc_id", "span_idx"], "left_anti")
+    assert orphans.count() == 0
+    # offsets within each doc are strictly increasing (span order invariant)
+    bad_order = docs.filter(
+        F.exists(
+            F.zip_with(
+                F.slice(F.col("spans.offset"), 1, F.size("spans") - 1),
+                F.slice(F.col("spans.offset"), 2, F.size("spans") - 1),
+                lambda a, b: a >= b,
+            ),
+            lambda x: x,
+        )
+    )
+    assert bad_order.count() == 0
+
+
+def test_decode_is_narrow(spark, fixture_dir):
+    """decode_blobs adds no shuffle: plan has no Exchange above the scan."""
+    blobs = iceberg_lite.read_table(spark, fixture_dir / "media_blobs")
+    plan = decode.decode_blobs(blobs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -1,0 +1,178 @@
+"""Wire-codec tests: golden counts from the reference fixture + round trips.
+
+Golden contract: sample.osm.pbf = 339 entities
+(/root/reference/decoder_test.go:32).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from pbf_spark.wire import frame, osmformat
+from pbf_spark.wire.osmformat import (
+    Header,
+    StringTable,
+    build_dense_nodes_group,
+    build_header_block,
+    build_primitive_block,
+    build_relations_group,
+    build_ways_group,
+    parse_header_block,
+    parse_primitive_block,
+)
+
+from .conftest import SAMPLE_PBF
+
+
+def _decode_file(path):
+    counts = {"node": 0, "way": 0, "relation": 0}
+    blocks = []
+    with open(path, "rb") as f:
+        for btype, blob in frame.iter_blob_frames(f):
+            if btype != "OSMData":
+                continue
+            blk = parse_primitive_block(frame.unpack_blob(blob))
+            counts["node"] += len(blk.nodes)
+            counts["way"] += len(blk.ways)
+            counts["relation"] += len(blk.relations)
+            blocks.append(blk)
+    return counts, blocks
+
+
+def test_sample_golden_counts():
+    counts, _ = _decode_file(SAMPLE_PBF)
+    assert sum(counts.values()) == 339  # decoder_test.go:32
+    assert counts == {"node": 290, "way": 44, "relation": 5}
+
+
+def test_sample_header():
+    with open(SAMPLE_PBF, "rb") as f:
+        btype, blob = next(frame.iter_blob_frames(f))
+    assert btype == "OSMHeader"
+    h = parse_header_block(frame.unpack_blob(blob))
+    assert "OsmSchema-V0.6" in h.required_features
+    assert "DenseNodes" in h.required_features
+    bb = h.bbox_degrees
+    assert bb["bottom"] == pytest.approx(51.7648407, abs=1e-9)
+    assert bb["left"] == pytest.approx(-0.2353761, abs=1e-9)
+
+
+def test_sample_tags_resolved():
+    _, blocks = _decode_file(SAMPLE_PBF)
+    n = blocks[0].nodes
+    tagged = np.flatnonzero(np.diff(n.tag_off) > 0)
+    assert tagged.size > 0
+    s, e = n.tag_off[tagged[0]], n.tag_off[tagged[0] + 1]
+    keys = list(blocks[0].strings[n.tag_key[s:e]])
+    assert all(isinstance(k, str) and k for k in keys)
+
+
+def test_unsupported_required_feature_rejected():
+    raw = build_header_block(Header(required_features=("NotAThing",)))
+    with pytest.raises(ValueError, match="NotAThing"):
+        parse_header_block(raw)
+
+
+def test_primitive_block_roundtrip():
+    st = StringTable()
+    st.add("highway", "primary", "name", "Test St", "alice", "outer", "")
+    table, sid = st.build()
+    assert table[0] == ""  # reserved index (encoder/table.go:44-46)
+    assert table == sorted(table)
+    ids = np.array([10, 25, 30])
+    lat = np.array([51_500_000_000, 51_500_001_000, -8_000_000_100])
+    lon = np.array([-100_000_000, -99_999_000, 179_999_999_900])
+    tags = [[("highway", "primary")], [], [("name", "Test St"), ("highway", "primary")]]
+    info = dict(
+        version=[1, 2, 3],
+        ts_ms=[1_000_000, 2_000_000, 3_000_000],
+        changeset=[5, 6, 7],
+        uid=[42, 42, 43],
+        user=["alice", "alice", "alice"],
+        visible=[1, 0, 1],
+    )
+    g1 = build_dense_nodes_group(ids, lat, lon, tags, sid, info=info)
+    g2 = build_ways_group(
+        [dict(id=7, refs=[10, 25, 30, 25], tags=[("highway", "primary")])], sid
+    )
+    g3 = build_relations_group(
+        [
+            dict(
+                id=99,
+                tags=[("name", "Test St")],
+                members=[
+                    dict(ref=7, type=1, role="outer"),
+                    dict(ref=10, type=0, role=""),
+                    dict(ref=99, type=2, role="outer"),
+                ],
+            )
+        ],
+        sid,
+    )
+    blk = parse_primitive_block(build_primitive_block([g1, g2, g3], table))
+
+    nodes = blk.nodes
+    assert (nodes.id == ids).all()
+    assert (osmformat.nano_degrees(nodes.lat_coord, blk.lat_offset, blk.granularity) == lat).all()
+    assert (osmformat.nano_degrees(nodes.lon_coord, blk.lon_offset, blk.granularity) == lon).all()
+    got_tags = [
+        list(
+            zip(
+                blk.strings[nodes.tag_key[nodes.tag_off[i] : nodes.tag_off[i + 1]]],
+                blk.strings[nodes.tag_val[nodes.tag_off[i] : nodes.tag_off[i + 1]]],
+            )
+        )
+        for i in range(3)
+    ]
+    assert got_tags == [sorted(t) for t in tags]
+    assert list(nodes.info.visible) == [True, False, True]
+    assert list(nodes.info.ts_ms) == info["ts_ms"]
+    assert list(nodes.info.version) == [1, 2, 3]
+    assert list(blk.strings[nodes.info.user_sid]) == ["alice"] * 3
+
+    ways = blk.ways
+    assert ways.id[0] == 7 and list(ways.refs) == [10, 25, 30, 25]
+    assert ways.info is None
+
+    rels = blk.relations
+    assert rels.id[0] == 99
+    assert list(rels.mem_ref) == [7, 10, 99]
+    assert list(rels.mem_type) == [1, 0, 2]
+    assert list(blk.strings[rels.mem_role]) == ["outer", "", "outer"]
+
+
+def test_degrees_fixed_point_roundtrip():
+    """Coordinate grid round-trip matrix (model/types_test.go:60-131 analogue)."""
+    for gran in (100, 1000):
+        for offset in (0, -50, 125):
+            coords = np.array([-1_000_000, 0, 777, 123_456_789], dtype=np.int64)
+            nano = osmformat.nano_degrees(coords, offset, gran)
+            deg = osmformat.to_degrees(nano)
+            back = np.round((deg * 1e9 - offset) / gran).astype(np.int64)
+            assert (back == coords).all()
+
+
+def test_blob_codecs_roundtrip():
+    raw = b"primitive block bytes" * 100
+    for codec in ("raw", "zlib", "lzma"):
+        blob = frame.pack_blob(raw, codec)
+        got_codec, raw_size, payload = frame.split_blob(blob)
+        assert got_codec == codec
+        assert raw_size == len(raw)
+        assert frame.unpack_blob(blob) == raw
+
+
+def test_frame_roundtrip():
+    blob = frame.pack_blob(b"x" * 50)
+    stream = io.BytesIO(frame.frame_blob("OSMData", blob) * 3)
+    frames = list(frame.iter_blob_frames(stream))
+    assert len(frames) == 3
+    assert all(t == "OSMData" and b == blob for t, b in frames)
+
+
+def test_truncated_stream_rejected():
+    blob = frame.pack_blob(b"x" * 50)
+    data = frame.frame_blob("OSMData", blob)
+    with pytest.raises(ValueError):
+        list(frame.iter_blob_frames(io.BytesIO(data[:-10])))
