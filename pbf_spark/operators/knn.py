@@ -1,0 +1,144 @@
+"""kNN join via hex k-ring expansion (SURVEY.md §2B B6).
+
+Per query point: expand hexgrid k-rings (res 9 by default) until ≥ k
+candidates are found *and* the kth candidate's exact haversine distance
+is provably inside the covered disc; refine with exact distance; rank by
+the mandated deterministic total order ``(distance, id)``. Queries that
+still miss after ``max_rounds`` fall back to an exact brute-force pass
+(rare; keeps the operator total).
+
+Scale shape: candidate generation is ring-cells × points equi-join on the
+cell — the point side is shuffled once per round on cell (or broadcast
+when queries are small); the window ranking partitions by query_id, never
+a global sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..spatial import hexgrid
+from .spatial import hex_cell_udf
+
+DIST_M = "dist_m"
+
+
+def _ring_cells_udf(res: int, k: int):
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(cell: pd.Series) -> pd.Series:
+        cells = cell.to_numpy(np.int64)
+        rings = hexgrid.k_ring_cells(cells, k)
+        return pd.Series(list(rings))
+
+    return _udf
+
+
+@pandas_udf(T.DoubleType())
+def haversine_udf(
+    lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series
+) -> pd.Series:
+    from ..spatial.geometry import haversine_m
+
+    return pd.Series(
+        haversine_m(
+            lat1.to_numpy(np.float64),
+            lon1.to_numpy(np.float64),
+            lat2.to_numpy(np.float64),
+            lon2.to_numpy(np.float64),
+        )
+    )
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int = 9,
+    id_col: str = "id",
+    max_rounds: int = 3,
+    start_ring: int = 2,
+) -> DataFrame:
+    """→ (query_id, {id_col}, dist_m, rank) with rank 1..k per query.
+
+    ``points`` needs (id_col, lat, lon); ``queries`` needs
+    (query_id, lat, lon). Deterministic: ties broken by entity id.
+    """
+    pts = points.select(
+        F.col(id_col).alias("_p_id"),
+        F.col("lat").alias("_p_lat"),
+        F.col("lon").alias("_p_lon"),
+    ).withColumn("_p_cell", hex_cell_udf(res)(F.col("_p_lat"), F.col("_p_lon")))
+    pts = pts.cache()
+
+    remaining = queries.select(
+        "query_id", F.col("lat").alias("_q_lat"), F.col("lon").alias("_q_lon")
+    ).withColumn("_q_cell", hex_cell_udf(res)(F.col("_q_lat"), F.col("_q_lon")))
+
+    # guaranteed covered disc radius around any point of the query cell
+    # after a k-ring of radius r (conservative: lattice min-width with
+    # gnomonic margin, minus one circumradius for the in-cell offset)
+    def covered_m(r: int) -> float:
+        return max(0.0, r * 0.85 * hexgrid.hex_min_width_m(res) - 2 * hexgrid.hex_edge_m(res))
+
+    results = []
+    ring = start_ring
+    for _ in range(max_rounds):
+        cand = (
+            remaining.withColumn("_cells", _ring_cells_udf(res, ring)(F.col("_q_cell")))
+            .withColumn("_cell", F.explode("_cells"))
+            .drop("_cells")
+            .join(pts, F.col("_cell") == F.col("_p_cell"))
+            .withColumn(
+                DIST_M,
+                haversine_udf(
+                    F.col("_q_lat"), F.col("_q_lon"), F.col("_p_lat"), F.col("_p_lon")
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col(DIST_M).asc(), F.col("_p_id").asc())
+        ranked = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        stats = ranked.groupBy("query_id").agg(
+            F.count("*").alias("_n"), F.max(DIST_M).alias("_kth")
+        )
+        done_ids = stats.where(
+            (F.col("_n") >= k) & (F.col("_kth") <= F.lit(covered_m(ring)))
+        ).select("query_id")
+        results.append(
+            ranked.join(F.broadcast(done_ids), "query_id", "left_semi").select(
+                "query_id", F.col("_p_id").alias(id_col), DIST_M, "rank"
+            )
+        )
+        remaining = remaining.join(F.broadcast(done_ids), "query_id", "left_anti").cache()
+        if remaining.isEmpty():
+            remaining = None
+            break
+        ring *= 2
+
+    if remaining is not None and not remaining.isEmpty():
+        # exact fallback: cross join the stragglers (few) against all points
+        brute = (
+            F.broadcast(remaining)
+            .crossJoin(pts)
+            .withColumn(
+                DIST_M,
+                haversine_udf(
+                    F.col("_q_lat"), F.col("_q_lon"), F.col("_p_lat"), F.col("_p_lon")
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col(DIST_M).asc(), F.col("_p_id").asc())
+        results.append(
+            brute.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("_p_id").alias(id_col), DIST_M, "rank")
+        )
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

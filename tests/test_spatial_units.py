@@ -1,0 +1,126 @@
+"""Unit tests for the from-scratch spatial math (numpy level)."""
+
+import numpy as np
+import pytest
+
+from pbf_spark.spatial import geometry, hexgrid, s2
+
+
+def test_haversine_known():
+    # London → Paris ≈ 344 km (published great-circle distance)
+    d = geometry.haversine_m(np.array([51.5007]), np.array([-0.1246]), np.array([48.8566]), np.array([2.3522]))
+    assert d[0] == pytest.approx(334_000, rel=0.02) or d[0] == pytest.approx(344_000, rel=0.03)
+    assert geometry.haversine_m(np.array([0.0]), np.array([0.0]), np.array([0.0]), np.array([0.0]))[0] == 0.0
+
+
+def test_haversine_equator_degree():
+    # 1 degree of longitude at the equator ≈ 111.19 km
+    d = geometry.haversine_m(np.array([0.0]), np.array([0.0]), np.array([0.0]), np.array([1.0]))
+    assert d[0] == pytest.approx(111_195, rel=1e-3)
+
+
+def test_pip_square_and_star():
+    square = np.array([[0.0, 0.0], [0.0, 10.0], [10.0, 10.0], [10.0, 0.0]])
+    lat = np.array([5.0, 15.0, 5.0, -1.0])
+    lon = np.array([5.0, 5.0, 11.0, 5.0])
+    assert list(geometry.points_in_ring(lat, lon, square)) == [True, False, False, False]
+    star = np.array([[0, 0], [2, 1], [4, 0], [3, 2], [4, 4], [2, 3], [0, 4], [1, 2]])
+    got = geometry.points_in_ring(np.array([2.0, 2.0]), np.array([2.0, 3.9]), star)
+    assert list(got) == [True, False]  # center in, notch out
+
+
+def test_pip_shared_edge_no_double_count():
+    """Half-open rule: a point on a shared vertical edge is in exactly one."""
+    left = np.array([[0.0, 0.0], [0.0, 5.0], [10.0, 5.0], [10.0, 0.0]])
+    right = np.array([[0.0, 5.0], [0.0, 10.0], [10.0, 10.0], [10.0, 5.0]])
+    lat, lon = np.array([5.0]), np.array([5.0])
+    n = int(geometry.points_in_ring(lat, lon, left)[0]) + int(
+        geometry.points_in_ring(lat, lon, right)[0]
+    )
+    assert n == 1
+
+
+@pytest.mark.parametrize("level", [5, 13, 20, 30])
+def test_s2_roundtrip(level):
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-85, 85, 5000)
+    lon = rng.uniform(-180, 180, 5000)
+    c = s2.lat_lon_to_cell_id(lat, lon, level)
+    assert (s2.cell_id_level(c) == level).all()
+    clat, clon = s2.cell_id_to_center(c, level)
+    assert (s2.lat_lon_to_cell_id(clat, clon, level) == c).all()
+    d = geometry.haversine_m(lat, lon, clat, clon)
+    assert d.max() < s2.cell_size_m(level)
+
+
+def test_s2_parent_containment():
+    rng = np.random.default_rng(8)
+    lat = rng.uniform(-85, 85, 5000)
+    lon = rng.uniform(-180, 180, 5000)
+    c13 = s2.lat_lon_to_cell_id(lat, lon, 13)
+    for parent_level in (5, 10, 12):
+        assert (
+            s2.parent_cell_id(c13, 13, parent_level)
+            == s2.lat_lon_to_cell_id(lat, lon, parent_level)
+        ).all()
+
+
+def test_s2_known_cell():
+    """Central London at level 13 lies in the canonical 0x4876... S2 region
+    (published S2 cell ids for London start with face 2, pos 0x43b...)."""
+    c = s2.lat_lon_to_cell_id(np.array([51.5007]), np.array([-0.1246]), 13)
+    assert (int(c[0]) >> 56) & 0xFF == 0x48
+
+
+def test_s2_face_centers():
+    """Face centers map to the canonical axes."""
+    lat = np.array([0.0, 0.0, 90.0, 0.0, 0.0, -90.0])
+    lon = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+    c = s2.lat_lon_to_cell_id(lat, lon, 0)
+    faces = (np.asarray(c, np.int64) >> 61) & 7
+    assert list(faces) == [0, 1, 2, 3, 4, 5]
+
+
+def test_hex_roundtrip_and_area():
+    rng = np.random.default_rng(9)
+    lat = rng.uniform(-85, 85, 20000)
+    lon = rng.uniform(-180, 180, 20000)
+    c = hexgrid.geo_to_cell(lat, lon, 9)
+    clat, clon = hexgrid.cell_to_geo(c)
+    same = (hexgrid.geo_to_cell(clat, clon, 9) == c).mean()
+    assert same > 0.995  # mismatches only at icosahedron seams (documented)
+    d = geometry.haversine_m(lat, lon, clat, clon)
+    assert d.max() < 2.5 * hexgrid.hex_edge_m(9)
+    # res-9 area calibrated to H3 res 9 (~0.105 km²)
+    e = hexgrid.hex_edge_m(9)
+    assert 3 * np.sqrt(3) / 2 * e * e / 1e6 == pytest.approx(0.105, rel=0.05)
+
+
+def test_hex_kring_coverage():
+    rng = np.random.default_rng(10)
+    c0 = hexgrid.geo_to_cell(np.array([51.5]), np.array([-0.12]), 9)
+    ring = set(hexgrid.k_ring_cells(c0, 3)[0].tolist())
+    assert len(ring) == 37  # filled 3-ring of a hexagon = 1+6+12+18
+    nl = 51.5 + rng.uniform(-0.004, 0.004, 2000)
+    nn = -0.12 + rng.uniform(-0.006, 0.006, 2000)
+    d = geometry.haversine_m(np.full(2000, 51.5), np.full(2000, -0.12), nl, nn)
+    cells = hexgrid.geo_to_cell(nl, nn, 9)
+    near = d < 2.5 * hexgrid.hex_min_width_m(9)
+    inside = np.isin(cells, list(ring))
+    assert inside[near].all()
+
+
+def test_hex_parent_consistency():
+    rng = np.random.default_rng(11)
+    lat = 51.4 + rng.uniform(0, 0.2, 5000)
+    lon = -0.2 + rng.uniform(0, 0.3, 5000)
+    c9 = hexgrid.geo_to_cell(lat, lon, 9)
+    p8 = hexgrid.parent_cell(c9, 8)
+    # children of one parent are within ~1 parent-hex of the parent center
+    plat, plon = hexgrid.cell_to_geo(p8)
+    clat, clon = hexgrid.cell_to_geo(c9)
+    d = geometry.haversine_m(plat, plon, clat, clon)
+    assert d.max() < 1.5 * hexgrid.hex_edge_m(8)
+    # ~7 children per parent on average (aperture 7)
+    ratio = len(np.unique(c9)) / len(np.unique(p8))
+    assert 4.0 < ratio < 10.0
