@@ -1,0 +1,156 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline dedup at 100 TB scale:
+
+- **exact**: hash-groupBy on the canonical fingerprint — one shuffle on
+  a 16-byte key; representative = min(doc_id) (deterministic).
+- **MinHash+LSH**: word-shingle → md5-string minhash (portable: the
+  identical construction runs in the DuckDB oracle) → band buckets →
+  candidate pairs by bucket equi-join → exact Jaccard verify. The only
+  wide ops are the bucket join and the pair dedup; signatures are pure
+  column expressions (codegen, no UDF).
+- **SimHash**: 64-bit majority-vote hash over token xxhash64 bits;
+  near-dups = equal simhash (or banded hamming buckets).
+- **n-gram Jaccard**: exact verify used inside LSH, exposed standalone
+  for small candidate sets.
+
+All ranking/representative choices are deterministic (min id) so results
+are partition-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKEN_SPLIT, tokens_col
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical (normalized) texts → (fingerprint, rep_id, n_dups)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT, " ")
+    return (
+        df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles_col(text_col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles (1-based element_at; matches the SQL oracle)."""
+    parts = ", ".join(f"element_at(_t, i + {j})" for j in range(n))
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0] — guard short docs
+    return F.expr(
+        f"CASE WHEN size(_t) >= {n} THEN "
+        f"transform(sequence(1, size(_t) - {n - 1}), i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) portable min-hashes: min over shingles of
+    md5(shingle || '#' || hash_index). String-min over hex digests is a
+    valid uniform min-hash and is reproducible in any SQL engine."""
+    out = df.withColumn("_t", tokens_col(text_col)).withColumn(
+        "_sh", shingles_col(text_col, shingle_n)
+    )
+    cols = [
+        F.expr(f"array_min(transform(_sh, s -> md5(concat(s, '#', '{i}'))))").alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return out.select(F.col(id_col), *cols)
+
+
+def jaccard_pairs(
+    left_shingles: Column, right_shingles: Column, as_name: str = "jaccard"
+) -> Column:
+    inter = F.size(F.array_intersect(left_shingles, right_shingles))
+    union = F.size(F.array_union(left_shingles, right_shingles))
+    return F.round(inter / F.greatest(union, F.lit(1)), 6).alias(as_name)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded LSH + exact Jaccard verification.
+
+    → (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    Scale shape: the shuffle key is (band, band_signature) — hot buckets
+    (boilerplate-heavy corpora) can be salted upstream; the final
+    distinct is over candidate pairs only.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n)
+    band_cols = [
+        F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sh = df.withColumn("_t", tokens_col(text_col)).select(
+        F.col(id_col), F.array_distinct(shingles_col(text_col, shingle_n)).alias("_sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+        .select("id_a", "id_b", jaccard_pairs(F.col("_sh_a"), F.col("_sh_b")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per-bit majority vote over token xxhash64 values.
+
+    Pure column expressions: explode → bit tests → sum votes → reassemble.
+    (xxhash64 is Spark-specific, so the driver records a rows-only check;
+    the partition-invariance test is the determinism gate.)
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("_tok"))
+        .withColumn("_h", F.xxhash64("_tok"))
+    )
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(F.col("_h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{bit}")
+            for bit in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for bit in range(64):
+        sim = sim + F.when(F.col(f"_v{bit}") > 0, F.lit(1).cast("long") * (2**bit if bit < 63 else -(2**63))).otherwise(0)
+    return votes.select(F.col(id_col), sim.alias("simhash"))

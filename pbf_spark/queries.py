@@ -1,0 +1,543 @@
+"""Driver-contract query catalog: Spark implementation + DuckDB oracle SQL.
+
+Every operator from SURVEY.md §2 that is SQL-expressible appears here
+twice — once as an idiomatic DataFrame pipeline, once as ANSI SQL the
+DuckDB oracle runs on the same parquet — with **identical output column
+names and matching arithmetic** (same operation order, shared literal
+constants, rounding before hashing). Non-SQL-expressible ops (S2 cell
+math, tiles, simhash) ship without an oracle string → the driver records
+the weaker rows-only check.
+
+Spatial queries derive deterministic point coordinates from the events
+table via exact integer arithmetic (multiply-mod), so Spark and DuckDB
+compute bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared constants (single source for both engines)
+# ---------------------------------------------------------------------------
+
+BBOX = {"bottom": 51.28554, "top": 51.69344, "left": -0.511482, "right": 0.335437}
+LAT_MUL, LAT_MOD = 2654435761, 1000003
+LON_MUL, LON_MOD = 40503, 999983
+
+# concave test polygon (star-ish) inside the bbox
+POLYGON = [
+    (51.36, -0.30),
+    (51.45, -0.22),
+    (51.60, -0.33),
+    (51.52, -0.15),
+    (51.63, 0.05),
+    (51.50, 0.02),
+    (51.42, 0.16),
+    (51.44, -0.05),
+]
+
+STOP_EN = ("the", "a", "of", "and", "to", "in", "is")
+STOP_SQL = ", ".join(f"'{w}'" for w in STOP_EN)
+
+
+def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+
+
+# ---------------------------------------------------------------------------
+# relational suite (classic analytics surface — Catalyst built-ins only)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li = _tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, supplier, li = _tables(spark, sf_dir, "region", "nation", "supplier", "lineitem")
+    return (
+        li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _tables(spark, sf_dir, "customer", "orders")
+    totals = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spent"), F.count("*").alias("n_orders"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+    return (
+        totals.withColumn("rank_in_nation", F.row_number().over(w))
+        .where(F.col("rank_in_nation") <= 3)
+        .select("c_nationkey", "c_custkey", "total_spent", "n_orders", "rank_in_nation")
+        .orderBy("c_nationkey", "rank_in_nation")
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+WITH totals AS (
+  SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spent, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_nationkey, c_custkey, total_spent, n_orders,
+       row_number() OVER (PARTITION BY c_nationkey ORDER BY total_spent DESC, c_custkey ASC) AS rank_in_nation
+FROM totals JOIN customer ON o_custkey = c_custkey
+QUALIFY rank_in_nation <= 3
+ORDER BY c_nationkey, rank_in_nation
+"""
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _tables(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type").alias("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+# ---------------------------------------------------------------------------
+# spatial engine queries over events-derived deterministic points
+# ---------------------------------------------------------------------------
+
+_LAT_EXPR = (
+    f"{BBOX['bottom']} + CAST((event_id * {LAT_MUL}) % {LAT_MOD} AS DOUBLE)"
+    f" / {LAT_MOD}.0 * ({BBOX['top']} - {BBOX['bottom']})"
+)
+_LON_EXPR = (
+    f"{BBOX['left']} + CAST((event_id * {LON_MUL}) % {LON_MOD} AS DOUBLE)"
+    f" / {LON_MOD}.0 * ({BBOX['right']} - ({BBOX['left']}))"
+)
+
+
+def event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _tables(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("id"),
+        F.expr(_LAT_EXPR).alias("lat"),
+        F.expr(_LON_EXPR).alias("lon"),
+    )
+
+
+_POINTS_SQL = f"""
+  SELECT event_id AS id, {_LAT_EXPR} AS lat, {_LON_EXPR} AS lon FROM events
+"""
+
+
+def pip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join of event points against the fixed concave polygon — the
+    engine's broadcast-prefilter + ray-cast path, oracle-checked against
+    a pure-SQL ray cast."""
+    from .operators.spatial import point_in_polygon_join
+
+    pts = event_points(spark, sf_dir)
+    poly = spark.createDataFrame(
+        [("star", [{"lat": la, "lon": lo} for la, lo in POLYGON], "test")],
+        "polygon_id string, ring array<struct<lat:double,lon:double>>, category string",
+    )
+    return (
+        point_in_polygon_join(pts, poly, keep_polygon_cols=())
+        .select(F.col("id").alias("id"), F.col("polygon_id").alias("polygon_id"))
+        .orderBy("id")
+    )
+
+
+def _pip_sql() -> str:
+    edges = []
+    n = len(POLYGON)
+    for i in range(n):
+        y1, x1 = POLYGON[i]
+        y2, x2 = POLYGON[(i + 1) % n]
+        edges.append(f"({y1}, {x1}, {y2}, {x2})")
+    edges_sql = ", ".join(edges)
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+edges(y1, x1, y2, x2) AS (VALUES {edges_sql}),
+hits AS (
+  SELECT pts.id,
+         sum(CASE WHEN ((y1 > lat) != (y2 > lat))
+                   AND lon < x1 + (lat - y1) * (x2 - x1) / (y2 - y1)
+             THEN 1 ELSE 0 END) AS crossings
+  FROM pts CROSS JOIN edges
+  GROUP BY pts.id
+)
+SELECT id, 'star' AS polygon_id FROM hits WHERE crossings % 2 = 1 ORDER BY id
+"""
+
+
+PIP_SQL = _pip_sql()
+
+_HAVERSINE_SQL = (
+    "2 * 6371008.8 * asin(sqrt(least(greatest("
+    "pow(sin((radians(p.lat) - radians(q.lat)) / 2), 2) + "
+    "cos(radians(q.lat)) * cos(radians(p.lat)) * "
+    "pow(sin((radians(p.lon) - radians(q.lon)) / 2), 2), 0.0), 1.0)))"
+)
+
+
+def knn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN of 20 query points (every 500th event) over all event points
+    via hex k-ring expansion; oracle is an exhaustive SQL scan."""
+    from .operators.knn import knn_join
+
+    pts = event_points(spark, sf_dir)
+    queries = (
+        pts.where(F.col("id") % 500 == 0)
+        .where(F.col("id") < 10000)
+        .select(F.col("id").alias("query_id"), "lat", "lon")
+    )
+    out = knn_join(pts, queries, k=5)
+    return out.select(
+        "query_id", F.col("id").alias("id"), F.round(F.col("dist_m"), 3).alias("dist_m"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+KNN_SQL = f"""
+WITH pts AS ({_POINTS_SQL}),
+q AS (SELECT id AS query_id, lat, lon FROM pts WHERE id % 500 = 0 AND id < 10000),
+d AS (
+  SELECT q.query_id, p.id, {_HAVERSINE_SQL} AS dist
+  FROM q CROSS JOIN pts p
+)
+SELECT query_id, id, round(dist, 3) AS dist_m,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS INT) AS rank
+FROM d
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def s2_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 level-10 occupancy histogram (cell math is not SQL-expressible →
+    rows-only oracle check; determinism is covered by the test suite)."""
+    from .operators.spatial import with_cells
+
+    pts = with_cells(event_points(spark, sf_dir), s2_level=10, hex_res=7)
+    return (
+        pts.groupBy("s2_cell")
+        .agg(F.count("*").alias("n_points"), F.countDistinct("hex_cell").alias("n_hex_cells"))
+        .orderBy(F.desc("n_points"), "s2_cell")
+        .limit(50)
+    )
+
+
+def tile_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster tiles over event points (rows-only oracle check)."""
+    from .operators.tiles import materialize_tiles
+
+    t = materialize_tiles(event_points(spark, sf_dir), tile_level=9, raster_bits=4)
+    return t.select(
+        "tile_cell",
+        "n_points",
+        F.expr("size(filter(raster, x -> x > 0))").alias("occupied_bins"),
+    ).orderBy(F.desc("n_points"), "tile_cell").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# training-data ops over documents / embeddings
+# ---------------------------------------------------------------------------
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_stats
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return token_stats(docs).orderBy("doc_id")
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+       length(text) AS n_chars_measured,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS subword_est,
+       round(length(text) / CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE), 4) AS avg_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import quality_score
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return quality_score(docs).orderBy("doc_id")
+
+
+QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, w -> w IN ({STOP_SQL}))) AS stopword_hits,
+         length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS punct_chars
+  FROM t
+)
+SELECT doc_id, n_tokens, stopword_hits, punct_chars,
+       round(least(n_tokens / 200.0, 1.0) * 0.4
+             + least(stopword_hits / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0) * 0.4
+             + (1.0 - least(punct_chars / CAST(greatest(n_tokens, 1) AS DOUBLE), 1.0)) * 0.2,
+             6) AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import lang_id
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return lang_id(docs).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    from .operators.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    hits = ",\n         ".join(
+        f"len(list_filter(toks, w -> w IN ({', '.join(repr(w) for w in STOPWORDS[lang])}))) AS hits_{lang}"
+        for lang in langs
+    )
+    # same strict-greater fold as the Spark side
+    case = "'und'"
+    best = "0"
+    for lang in langs:
+        case = f"CASE WHEN hits_{lang} > {best} THEN '{lang}' ELSE {case} END"
+        best = f"greatest(hits_{lang}, {best})"
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents
+), h AS (
+  SELECT doc_id,
+         {hits}
+  FROM t
+)
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, {case} AS lang_pred
+FROM h ORDER BY doc_id
+"""
+
+
+LANGID_SQL = _langid_sql()
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return exact_dedup(docs).orderBy("fingerprint")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS rep_id, count(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY fingerprint
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return fingerprint(docs).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signature
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return minhash_signature(docs, n_hashes=4).orderBy("doc_id")
+
+
+MINHASH_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          for i in generate_series(1, greatest(len(w) - 2, 0))] AS shingles
+  FROM t
+)
+SELECT doc_id,
+       list_min([md5(s || '#' || '0') for s in shingles]) AS mh_0,
+       list_min([md5(s || '#' || '1') for s in shingles]) AS mh_1,
+       list_min([md5(s || '#' || '2') for s in shingles]) AS mh_2,
+       list_min([md5(s || '#' || '3') for s in shingles]) AS mh_3
+FROM sh ORDER BY doc_id
+"""
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.simsearch import cosine_topk
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return cosine_topk(emb, queries, k=5).orderBy("q_id", "rank")
+
+
+ANN_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+d AS (
+  SELECT q.q_id, e.vec_id,
+         round(
+           list_sum([x[1] * x[2] for x in list_zip(
+               [CAST(v AS DOUBLE) for v in e.embedding],
+               [CAST(v AS DOUBLE) for v in q.q_vec])])
+           / (sqrt(list_sum([CAST(v AS DOUBLE) * CAST(v AS DOUBLE) for v in e.embedding]))
+              * sqrt(list_sum([CAST(v AS DOUBLE) * CAST(v AS DOUBLE) for v in q.q_vec]))),
+           6) AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT q_id, vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+FROM d QUALIFY rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return simhash(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_supplier_nation_revenue": q5_supplier_nation_revenue,
+    "top_customers_window": top_customers_window,
+    "events_hourly": events_hourly,
+    "pip_events": pip_events,
+    "knn_events": knn_events,
+    "s2_cell_counts": s2_cell_counts,
+    "tile_density": tile_density,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_langid": doc_langid,
+    "dedup_exact": dedup_exact,
+    "doc_fingerprint": doc_fingerprint,
+    "minhash_signatures": minhash_signatures,
+    "ann_cosine_topk": ann_cosine_topk,
+    "doc_simhash": doc_simhash,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_supplier_nation_revenue": Q5_SQL,
+    "top_customers_window": TOP_CUSTOMERS_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "pip_events": PIP_SQL,
+    "knn_events": KNN_SQL,
+    "doc_token_stats": TOKEN_STATS_SQL,
+    "doc_quality": QUALITY_SQL,
+    "doc_langid": LANGID_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "doc_fingerprint": FINGERPRINT_SQL,
+    "minhash_signatures": MINHASH_SQL,
+    "ann_cosine_topk": ANN_SQL,
+    # s2_cell_counts / tile_density / doc_simhash: cell math & xxhash64
+    # are not SQL-expressible → rows-only checks (recorded by the driver)
+}
