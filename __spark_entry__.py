@@ -32,8 +32,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from pbf_spark.operators.spatial import point_in_polygon_join, with_cells
 
+    from pbf_spark.util import small_df
+
     pts = with_cells(Q.event_points(spark, SF0001), s2_level=13, hex_res=9)
-    poly = spark.createDataFrame(
+    poly = small_df(
+        spark,
         [("star", [{"lat": la, "lon": lo} for la, lo in Q.POLYGON], "test")],
         "polygon_id string, ring array<struct<lat:double,lon:double>>, category string",
     )

@@ -1,0 +1,134 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries are forced end-to-end with a noop-format write (count() alone
+would let Catalyst prune the expensive columns). Also times the engine's
+own decode+spatial pipeline on a cached deterministic fixture
+(greater-london-scale entity counts), reporting entities/sec — the
+north-metric numerator. Scaling efficiency across two parallelism levels
+is measured separately by tools/scaling_bench.py (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+BENCH_FIXTURE = REPO / "bench_out" / "london-bench"
+# the greater-london golden workload shape (BASELINE.md correctness
+# contract: 2,729,006 / 459,055 / 12,833 = 3,200,894 entities) — big
+# enough that per-stage fixed costs are noise; generated once, cached
+BENCH_COUNTS = dict(n_nodes=2_729_006, n_ways=459_055, n_relations=12_833)
+
+
+def ensure_bench_fixture() -> dict:
+    from pbf_spark.fixtures.generate import generate
+
+    manifest_path = BENCH_FIXTURE / "fixture_manifest.json"
+    if manifest_path.exists():
+        m = json.loads(manifest_path.read_text())
+        if m["counts"] == {
+            "node": BENCH_COUNTS["n_nodes"],
+            "way": BENCH_COUNTS["n_ways"],
+            "relation": BENCH_COUNTS["n_relations"],
+        }:
+            return m
+    return generate(BENCH_FIXTURE, spans_per_doc=4, write_pbf_file=False, n_polygons=192, **BENCH_COUNTS)
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(Path(sf_dir).name.removeprefix("sf") or 0.1)
+
+    manifest = ensure_bench_fixture()
+
+    from pbf_spark.session import get_spark
+
+    spark = get_spark(app_name="pbf_spark-bench", master=f"local[{cpus}]")
+
+    import __spark_entry__ as em
+
+    qtimes: dict[str, float] = {}
+    for name, fn in em.queries().items():
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        qtimes[name] = round(time.time() - t0, 3)
+        # knn/pip cache helper frames internally; don't let residue skew
+        # the next measurement
+        spark.catalog.clearCache()
+
+    # engine pipeline benches on the cached fixture
+    from pbf_spark.operators import decode, spatial, tiles
+    from pbf_spark.sources import iceberg_lite
+
+    docs = iceberg_lite.read_table(spark, BENCH_FIXTURE / "documents_interleaved")
+    blobs = iceberg_lite.read_table(spark, BENCH_FIXTURE / "media_blobs")
+
+    # This host shows heavy IO-stall variance (loadavg >>, CPU idle), so
+    # engine throughputs are reported steady-state: one warmup pass, then
+    # best of 2 timed runs.
+    def best_of(fn, runs: int = 2) -> float:
+        fn()  # warmup
+        return min(_timed(fn) for _ in range(runs))
+
+    def _timed(fn) -> float:
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
+    t_decode = best_of(lambda: force(decode.decode_documents(docs, blobs)))
+    qtimes["engine_decode"] = round(t_decode, 3)
+
+    # geometry-only decode (UDF-level column pruning) feeding the joins
+    nodes = (
+        decode.decode_documents(docs, blobs, columns=frozenset())
+        .where("entity_type='node'")
+        .select("id", "lat", "lon")
+        .cache()
+    )
+    n_nodes = nodes.count()  # materialize so joins time only themselves
+    polys = spark.read.parquet(str(BENCH_FIXTURE / "polygons.parquet"))
+    n_join_rows = spatial.point_in_polygon_join(nodes, polys).count()
+    t_join = best_of(lambda: spatial.point_in_polygon_join(nodes, polys).count())
+    qtimes["engine_pip_join"] = round(t_join, 3)
+
+    t_tiles = best_of(lambda: force(tiles.materialize_tiles(nodes, tile_level=10, raster_bits=5)))
+    qtimes["engine_tiles"] = round(t_tiles, 3)
+    spark.catalog.clearCache()
+
+    total = round(sum(qtimes.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "engine": {
+                    "fixture_entities": manifest["total_entities"],
+                    "decode_entities_per_sec": round(manifest["total_entities"] / t_decode),
+                    "pip_join_rows": n_join_rows,
+                    "pip_join_rows_per_sec": round(n_join_rows / t_join),
+                    "cpus": int(cpus),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

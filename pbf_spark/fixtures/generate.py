@@ -137,6 +137,7 @@ def generate(
     codec: str = "zlib",
     write_pbf_file: bool = True,
     bbox: dict = LONDON_BBOX,
+    n_polygons: int = 24,
 ) -> dict:
     """Generate the london-mini (or scaled) fixture; returns the manifest."""
     out_dir = Path(out_dir)
@@ -312,9 +313,11 @@ def generate(
     )
 
     # ---- iceberg-lite commit (data files first, metadata flip last) ----
+    # small files + small row groups: blob payloads are fat rows, so a
+    # byte-capped Spark scan needs fine file granularity to parallelize
     for name, table, rows_per_file in (
-        ("documents_interleaved", docs_table, 512),
-        ("media_blobs", blob_table, 512),
+        ("documents_interleaved", docs_table, 64),
+        ("media_blobs", blob_table, 8),
     ):
         tdir = out_dir / name
         ddir = tdir / "data"
@@ -323,7 +326,7 @@ def generate(
         for fi, s in enumerate(range(0, table.num_rows, rows_per_file)):
             chunk = table.slice(s, rows_per_file)
             fname = f"part-{fi:05d}.parquet"
-            pq.write_table(chunk, ddir / fname, row_group_size=64, compression="zstd")
+            pq.write_table(chunk, ddir / fname, row_group_size=8, compression="zstd")
             files.append(
                 {"path": f"data/{fname}", "rows": chunk.num_rows, "bytes": (ddir / fname).stat().st_size}
             )
@@ -336,7 +339,7 @@ def generate(
         )
 
     # ---- spatial layers ----
-    _write_spatial_layers(out_dir, rng, bbox)
+    _write_spatial_layers(out_dir, rng, bbox, n_polygons=n_polygons)
 
     manifest = {
         "profile": "london-mini" if n_nodes == 20_000 else f"scaled-{n_nodes}",
@@ -356,12 +359,14 @@ def generate(
     return manifest
 
 
-def _write_spatial_layers(out_dir: Path, rng: np.random.Generator, bbox: dict) -> None:
+def _write_spatial_layers(
+    out_dir: Path, rng: np.random.Generator, bbox: dict, n_polygons: int = 24
+) -> None:
     """Synthetic borough polygons + kNN query points (FIXTURES.md §3)."""
     polys = []
     lat_span = bbox["top"] - bbox["bottom"]
     lon_span = bbox["right"] - bbox["left"]
-    for i in range(24):
+    for i in range(n_polygons):
         c_lat = rng.uniform(bbox["bottom"] + 0.05 * lat_span, bbox["top"] - 0.05 * lat_span)
         c_lon = rng.uniform(bbox["left"] + 0.05 * lon_span, bbox["right"] - 0.05 * lon_span)
         n_vert = int(rng.integers(5, 12))

@@ -69,10 +69,15 @@ def _entity_batch(
     doc_id: str | None,
     span_idx: int | None,
     blob_seq: int | None,
+    columns: frozenset[str] | None = None,
 ) -> pa.RecordBatch | None:
     n = len(soa)
     if n == 0:
         return None
+
+    def want(col: str) -> bool:
+        return columns is None or col in columns
+
     strings = block.strings
     nulls_f64 = pa.nulls(n, pa.float64())
     nulls_i64 = pa.nulls(n, pa.int64())
@@ -86,13 +91,13 @@ def _entity_batch(
     else:
         lat = lon = nulls_f64
         lat_nano_a = lon_nano_a = nulls_i64
-    if kind == "way":
+    if kind == "way" and want("refs"):
         refs = pa.ListArray.from_arrays(
             pa.array(soa.ref_off, pa.int32()), pa.array(soa.refs, pa.int64())
         )
     else:
         refs = pa.nulls(n, pa.list_(pa.int64()))
-    if kind == "relation":
+    if kind == "relation" and want("members"):
         mstruct = pa.StructArray.from_arrays(
             [
                 pa.array(soa.mem_ref, pa.int64()),
@@ -117,10 +122,10 @@ def _entity_batch(
         lon,
         lat_nano_a,
         lon_nano_a,
-        _tags_array(soa, strings),
+        _tags_array(soa, strings) if want("tags") else pa.nulls(n, _TAG_TYPE),
         refs,
         members,
-        _info_array(soa, strings, n),
+        _info_array(soa, strings, n) if want("info") else pa.nulls(n, _INFO_TYPE),
         const_str(doc_id),
         pa.nulls(n, pa.int32()) if span_idx is None else pa.array([span_idx] * n, pa.int32()),
         pa.nulls(n, pa.int64()) if blob_seq is None else pa.array([blob_seq] * n, pa.int64()),
@@ -135,19 +140,22 @@ def decode_blob_payload(
     doc_id: str | None = None,
     span_idx: int | None = None,
     blob_seq: int | None = None,
+    columns: frozenset[str] | None = None,
 ) -> list[pa.RecordBatch]:
     """One OSMData blob payload → entity record batches (nodes, ways, rels)."""
     raw = wire_frame.decompress_payload(codec, payload, raw_size)
     block = osmformat.parse_primitive_block(raw)
     out = []
     for kind, soa in (("node", block.nodes), ("way", block.ways), ("relation", block.relations)):
-        rb = _entity_batch(kind, soa, block, doc_id, span_idx, blob_seq)
+        rb = _entity_batch(kind, soa, block, doc_id, span_idx, blob_seq, columns)
         if rb is not None:
             out.append(rb)
     return out
 
 
-def _decode_map_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _decode_map_arrow(
+    batches: Iterator[pa.RecordBatch], columns: frozenset[str] | None = None
+) -> Iterator[pa.RecordBatch]:
     for batch in batches:
         cols = {name: batch.column(name) for name in batch.schema.names}
         n = batch.num_rows
@@ -168,10 +176,15 @@ def _decode_map_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBa
                 doc_ids[i],
                 span_idxs[i],
                 blob_seqs[i],
+                columns,
             )
 
 
-def decode_blobs(blob_df: DataFrame, partitions: int | None = None) -> DataFrame:
+def decode_blobs(
+    blob_df: DataFrame,
+    partitions: int | None = None,
+    columns: frozenset[str] | set[str] | None = None,
+) -> DataFrame:
     """Blob table → entity DataFrame.
 
     Input columns required: codec, raw_size, payload; optional: doc_id,
@@ -179,13 +192,24 @@ def decode_blobs(blob_df: DataFrame, partitions: int | None = None) -> DataFrame
     (PrimitiveBlock independence, public osmformat spec), so this is a
     narrow transformation — no shuffle unless ``partitions`` forces a
     rebalance of skewed blob files.
+
+    ``columns``: mapInArrow is opaque to Catalyst, so column pruning is
+    pushed into the UDF explicitly — pass the expensive nested columns
+    you need of {"tags", "info", "refs", "members"}; pruned columns
+    come back null with the schema unchanged.
     """
     if partitions:
         blob_df = blob_df.repartition(partitions)
-    return blob_df.mapInArrow(_decode_map_arrow, ENTITY_SCHEMA)
+    want = frozenset(columns) if columns is not None else None
+    return blob_df.mapInArrow(lambda it: _decode_map_arrow(it, want), ENTITY_SCHEMA)
 
 
-def decode_documents(docs: DataFrame, media_blobs: DataFrame, partitions: int | None = None) -> DataFrame:
+def decode_documents(
+    docs: DataFrame,
+    media_blobs: DataFrame,
+    partitions: int | None = None,
+    columns: frozenset[str] | set[str] | None = None,
+) -> DataFrame:
     """Interleaved document table + blob sidecar → entity DataFrame (B1+B2).
 
     ``posexplode(spans)`` keeps the span order index as provenance; only
@@ -205,7 +229,14 @@ def decode_documents(docs: DataFrame, media_blobs: DataFrame, partitions: int | 
     joined = spans.join(media_blobs, "media_ref").select(
         "doc_id", "span_idx", "blob_seq", "blob_type", "codec", "raw_size", "payload"
     )
-    return decode_blobs(joined, partitions)
+    if partitions is None:
+        # Blob rows are ~100 KB-1 MB each, so byte-based split/AQE sizing
+        # wildly underestimates decode CPU: rebalance to keep every core
+        # fed. At cluster scale, bucketing both tables by media_ref (or
+        # simply having enough input files) makes this a no-op — pass
+        # partitions=0 to skip.
+        partitions = joined.sparkSession.sparkContext.defaultParallelism * 2
+    return decode_blobs(joined, partitions or None, columns)
 
 
 def count_by_type(entities: DataFrame) -> DataFrame:

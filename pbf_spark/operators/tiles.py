@@ -25,15 +25,6 @@ from pyspark.sql.functions import pandas_udf
 
 from ..spatial import s2
 
-TILE_SCHEMA = T.StructType(
-    [
-        T.StructField("tile_cell", T.LongType(), False),
-        T.StructField("n_points", T.LongType(), False),
-        T.StructField("raster", T.ArrayType(T.LongType(), False), False),
-    ]
-)
-
-
 def _fine_cell_udf(fine_level: int):
     @pandas_udf(T.LongType())
     def _udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
@@ -42,6 +33,15 @@ def _fine_cell_udf(fine_level: int):
         )
 
     return _udf
+
+
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("tile_cell", T.LongType(), False),
+        T.StructField("n_points", T.LongType(), False),
+        T.StructField("raster", T.ArrayType(T.LongType(), False), False),
+    ]
+)
 
 
 def materialize_tiles(

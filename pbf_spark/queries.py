@@ -222,8 +222,11 @@ def pip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure-SQL ray cast."""
     from .operators.spatial import point_in_polygon_join
 
+    from .util import small_df
+
     pts = event_points(spark, sf_dir)
-    poly = spark.createDataFrame(
+    poly = small_df(
+        spark,
         [("star", [{"lat": la, "lon": lo} for la, lo in POLYGON], "test")],
         "polygon_id string, ring array<struct<lat:double,lon:double>>, category string",
     )
@@ -300,21 +303,53 @@ ORDER BY query_id, rank
 
 
 def s2_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 level-10 occupancy histogram (cell math is not SQL-expressible →
-    rows-only oracle check; determinism is covered by the test suite)."""
-    from .operators.spatial import with_cells
+    """S2 level-10 occupancy histogram. The cell id is computed by the
+    numpy S2 implementation Spark-side and by the equivalent pure-SQL
+    expression (spatial/s2_expr.py) in DuckDB — a full value-level oracle
+    check of the from-scratch S2 math (both validated bit-identical)."""
+    from .operators.spatial import s2_cell_udf
 
-    pts = with_cells(event_points(spark, sf_dir), s2_level=10, hex_res=7)
+    pts = event_points(spark, sf_dir).withColumn(
+        "s2_cell", s2_cell_udf(10)(F.col("lat"), F.col("lon"))
+    )
     return (
         pts.groupBy("s2_cell")
-        .agg(F.count("*").alias("n_points"), F.countDistinct("hex_cell").alias("n_hex_cells"))
+        .agg(F.count("*").alias("n_points"), F.min("id").alias("min_id"))
         .orderBy(F.desc("n_points"), "s2_cell")
         .limit(50)
     )
 
 
+def _s2_counts_sql() -> str:
+    from .spatial.s2_expr import s2_cell_sql_duckdb
+
+    src = s2_cell_sql_duckdb("lat", "lon", 10).format(src=f"({_POINTS_SQL})")
+    return f"""
+SELECT s2_cell, count(*) AS n_points, min(id) AS min_id
+FROM {src}
+GROUP BY s2_cell ORDER BY n_points DESC, s2_cell LIMIT 50
+"""
+
+
+def hex_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex res-7 occupancy (hex index needs table lookups → rows-only)."""
+    from .operators.spatial import hex_cell_udf
+
+    pts = event_points(spark, sf_dir).withColumn(
+        "hex_cell", hex_cell_udf(7)(F.col("lat"), F.col("lon"))
+    )
+    return (
+        pts.groupBy("hex_cell")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy(F.desc("n_points"), "hex_cell")
+        .limit(50)
+    )
+
+
 def tile_density(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster tiles over event points (rows-only oracle check)."""
+    """Raster tiles over event points; tile ids and occupancy are bit math
+    on the SQL S2 expression, so DuckDB reproduces them exactly (the test
+    points live on face 2 → ids positive → arithmetic >> is safe)."""
     from .operators.tiles import materialize_tiles
 
     t = materialize_tiles(event_points(spark, sf_dir), tile_level=9, raster_bits=4)
@@ -323,6 +358,27 @@ def tile_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_points",
         F.expr("size(filter(raster, x -> x > 0))").alias("occupied_bins"),
     ).orderBy(F.desc("n_points"), "tile_cell").limit(50)
+
+
+def _tile_density_sql() -> str:
+    from .spatial.s2_expr import s2_cell_sql_duckdb
+
+    # fine cell at level 9+4=13; tile/bin via the same bit math as tiles.py
+    src = s2_cell_sql_duckdb("lat", "lon", 13, out="_fine").format(src=f"({_POINTS_SQL})")
+    shift_fine = 2 * (30 - 13) + 1
+    tile_shift = 2 * (30 - 9) + 1
+    lsb = 1 << (2 * (30 - 9))
+    return f"""
+WITH binned AS (
+  SELECT (( _fine >> {shift_fine + 8}) << {tile_shift}) + {lsb} AS tile_cell,
+         CAST((_fine >> {shift_fine}) & 255 AS INT) AS bin
+  FROM {src}
+)
+SELECT tile_cell, count(*) AS n_points,
+       CAST(count(DISTINCT bin) AS INT) AS occupied_bins
+FROM binned GROUP BY tile_cell
+ORDER BY n_points DESC, tile_cell LIMIT 50
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -512,6 +568,7 @@ QUERIES = {
     "pip_events": pip_events,
     "knn_events": knn_events,
     "s2_cell_counts": s2_cell_counts,
+    "hex_cell_counts": hex_cell_counts,
     "tile_density": tile_density,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
@@ -538,6 +595,8 @@ ORACLES = {
     "doc_fingerprint": FINGERPRINT_SQL,
     "minhash_signatures": MINHASH_SQL,
     "ann_cosine_topk": ANN_SQL,
-    # s2_cell_counts / tile_density / doc_simhash: cell math & xxhash64
-    # are not SQL-expressible → rows-only checks (recorded by the driver)
+    "s2_cell_counts": _s2_counts_sql(),
+    "tile_density": _tile_density_sql(),
+    # hex_cell_counts / doc_simhash: icosahedral lookups & xxhash64 are
+    # not SQL-expressible → rows-only checks (recorded by the driver)
 }

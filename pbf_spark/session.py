@@ -17,9 +17,12 @@ def get_spark(
 
     Defaults tuned for the engine:
     - AQE on (runtime coalesce + skew-join split — B8's backstop)
-    - Arrow batches capped at 256 blob rows: decode input rows carry
-      ~0.1-1 MB payloads, so the default 10k-records batch would hold
-      gigabytes in one Arrow chunk
+    - Arrow batches at 10k records: scalar pandas UDFs (cell assignment,
+      refinement) need fat batches or the per-batch Python round trip
+      dominates (measured 5x slowdown at 256). Blob-decode inputs carry
+      ~0.1-1 MB payloads, but partitions are byte-capped
+      (maxPartitionBytes) so a batch can never exceed one partition's
+      bytes — the big setting is safe there too.
     - shuffle partitions sized to cores locally (cluster deployments
       override via spark-submit conf; AQE coalesces the excess)
     """
@@ -38,10 +41,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # this sandbox's disk shows multi-second IO stalls (loadavg >> with
+        # idle CPU); shuffle/spill through tmpfs — a cluster's local SSDs
+        # play this role in production
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/pbf-spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

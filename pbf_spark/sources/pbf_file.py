@@ -75,19 +75,17 @@ def read_blob_table(spark: SparkSession, path: str | Path, partitions: int | Non
     """Blob DataFrame (blob_seq, blob_type, codec, raw_size, payload).
 
     The index pass runs driver-side; payload fetch happens task-side via
-    mapPartitions over the index (range reads), keeping the scan narrow.
+    ``mapInPandas`` over the (Arrow-created) index — range reads, no RDD
+    API, scan stays narrow after the index repartition.
     """
+    import pandas as pd
+
     path = str(Path(path).resolve())
     idx = [row for row in index_blobs(path) if row[1] == "OSMData"]
     n_parts = partitions or min(len(idx), spark.sparkContext.defaultParallelism * 2) or 1
-    index_df = spark.createDataFrame(idx, INDEX_SCHEMA).repartition(n_parts)
-
-    def fetch(rows):
-        with open(path, "rb") as f:
-            for r in rows:
-                f.seek(r.offset)
-                codec, raw_size, payload = split_blob(f.read(r.length))
-                yield (r.blob_seq, r.blob_type, codec, raw_size, payload)
+    index_df = spark.createDataFrame(
+        pd.DataFrame(idx, columns=["blob_seq", "blob_type", "offset", "length"])
+    ).repartition(n_parts)
 
     schema = T.StructType(
         [
@@ -98,6 +96,25 @@ def read_blob_table(spark: SparkSession, path: str | Path, partitions: int | Non
             T.StructField("payload", T.BinaryType(), False),
         ]
     )
-    return index_df.rdd.mapPartitions(fetch).toDF(schema).withColumn(
-        "doc_id", F.lit(None).cast("string")
-    ).withColumn("span_idx", F.lit(None).cast("int"))
+
+    def fetch(pdfs):
+        with open(path, "rb") as f:
+            for pdf in pdfs:
+                out = {"blob_seq": [], "blob_type": [], "codec": [], "raw_size": [], "payload": []}
+                for seq, btype, off, length in zip(
+                    pdf["blob_seq"], pdf["blob_type"], pdf["offset"], pdf["length"]
+                ):
+                    f.seek(int(off))
+                    codec, raw_size, payload = split_blob(f.read(int(length)))
+                    out["blob_seq"].append(int(seq))
+                    out["blob_type"].append(btype)
+                    out["codec"].append(codec)
+                    out["raw_size"].append(raw_size)
+                    out["payload"].append(payload)
+                yield pd.DataFrame(out)
+
+    return (
+        index_df.mapInPandas(fetch, schema)
+        .withColumn("doc_id", F.lit(None).cast("string"))
+        .withColumn("span_idx", F.lit(None).cast("int"))
+    )

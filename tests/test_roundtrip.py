@@ -1,0 +1,90 @@
+"""Round-trip semantic-equality test (reference §5.3 analogue).
+
+decode → re-encode (write_pbf) → re-decode; equality of per-type counts
+and an order-insensitive multiset digest over canonicalized entities
+(sorted tags — guaranteed by the decode schema; 1 cm-grid coords =
+lat_nano; second-truncated timestamps), mirroring
+/root/reference/roundtrip_integration_test.go:204-309.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pbf_spark.operators import decode
+from pbf_spark.sources import iceberg_lite, pbf_file, pbf_sink
+
+
+def canonical_digest(entities):
+    """Order-insensitive multiset digest: sum of per-entity sha2 prefixes.
+
+    decimal(38) sum dodges ANSI overflow while keeping collisions
+    negligible (120-bit space, sum commutative → partition-order-proof).
+    """
+    canon = F.concat_ws(
+        "|",
+        F.col("entity_type"),
+        F.col("id"),
+        F.coalesce(F.col("lat_nano").cast("string"), F.lit("")),
+        F.coalesce(F.col("lon_nano").cast("string"), F.lit("")),
+        F.coalesce(F.to_json("tags"), F.lit("[]")),
+        F.coalesce(F.to_json("refs"), F.lit("[]")),
+        F.coalesce(F.to_json("members"), F.lit("[]")),
+        F.coalesce(F.col("info.version").cast("string"), F.lit("")),
+        F.coalesce(F.col("info.uid").cast("string"), F.lit("")),
+        F.coalesce(F.unix_timestamp("info.ts").cast("string"), F.lit("")),  # second-truncated
+        F.coalesce(F.col("info.changeset").cast("string"), F.lit("")),
+        F.coalesce(F.col("info.user"), F.lit("")),
+        F.coalesce(F.col("info.visible").cast("string"), F.lit("true")),
+    )
+    return (
+        F.sum(F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast("decimal(38,0)"))
+    )
+
+
+@pytest.fixture(scope="module")
+def entities(spark, fixture_dir):
+    docs = iceberg_lite.read_table(spark, fixture_dir / "documents_interleaved")
+    blobs = iceberg_lite.read_table(spark, fixture_dir / "media_blobs")
+    df = decode.decode_documents(docs, blobs).cache()
+    df.count()
+    return df
+
+
+def test_roundtrip_digest(spark, entities, fixture_manifest, tmp_path_factory):
+    out = tmp_path_factory.mktemp("rt") / "roundtrip.osm.pbf"
+    stats = pbf_sink.write_pbf(entities, out)
+    assert stats["n_entities"] == fixture_manifest["total_entities"]
+
+    redecoded = decode.decode_blobs(pbf_file.read_blob_table(spark, out))
+    counts1 = {r["entity_type"]: r["n"] for r in decode.count_by_type(entities).collect()}
+    counts2 = {r["entity_type"]: r["n"] for r in decode.count_by_type(redecoded).collect()}
+    assert counts1 == counts2 == fixture_manifest["counts"]
+
+    d1 = entities.agg(canonical_digest(entities).alias("d")).first()["d"]
+    d2 = redecoded.agg(canonical_digest(redecoded).alias("d")).first()["d"]
+    assert d1 == d2
+
+    # header carries the aggregated bbox + HistoricalInformation (fixture
+    # contains visible=false rows)
+    hdr = pbf_file.load_header(out)
+    assert "HistoricalInformation" in hdr.required_features
+    bb = hdr.bbox_degrees
+    # aggregated data bbox lies within the generator bbox
+    assert bb["bottom"] >= fixture_manifest["bbox"]["bottom"] - 1e-6
+    assert bb["top"] <= fixture_manifest["bbox"]["top"] + 1e-6
+    assert bb["left"] >= fixture_manifest["bbox"]["left"] - 1e-6
+
+
+def test_roundtrip_sample_pbf(spark, tmp_path_factory):
+    """Reference fixture round trip: sample.osm.pbf → entities → PBF →
+    entities; digests equal (the reference's own test shape)."""
+    from .conftest import SAMPLE_PBF
+
+    ents = decode.decode_blobs(pbf_file.read_blob_table(spark, SAMPLE_PBF)).cache()
+    out = tmp_path_factory.mktemp("rt2") / "sample-rt.osm.pbf"
+    stats = pbf_sink.write_pbf(ents, out)
+    assert stats["n_entities"] == 339
+    red = decode.decode_blobs(pbf_file.read_blob_table(spark, out))
+    d1 = ents.agg(canonical_digest(ents).alias("d")).first()["d"]
+    d2 = red.agg(canonical_digest(red).alias("d")).first()["d"]
+    assert d1 == d2
