@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,14 +34,23 @@ _MEMBER_TYPE = ENTITY_ARROW_SCHEMA.field("members").type
 _INFO_TYPE = ENTITY_ARROW_SCHEMA.field("info").type
 
 
-def _tags_array(soa: EntitySoA, strings: np.ndarray) -> pa.ListArray:
-    keys = pa.array(strings[soa.tag_key], pa.string())
-    vals = pa.array(strings[soa.tag_val], pa.string())
+def _strings_arrow(strings: np.ndarray) -> pa.Array:
+    return pa.array(strings, pa.string())
+
+
+def _take_str(strings_arr: pa.Array, ids: np.ndarray) -> pa.Array:
+    """String-table gather in Arrow C++ (no per-entity Python objects)."""
+    return pc.take(strings_arr, pa.array(ids, pa.int64()))
+
+
+def _tags_array(soa: EntitySoA, strings_arr: pa.Array) -> pa.ListArray:
+    keys = _take_str(strings_arr, soa.tag_key)
+    vals = _take_str(strings_arr, soa.tag_val)
     struct = pa.StructArray.from_arrays([keys, vals], fields=list(_TAG_TYPE.value_type))
     return pa.ListArray.from_arrays(pa.array(soa.tag_off, pa.int32()), struct, type=_TAG_TYPE)
 
 
-def _info_array(soa: EntitySoA, strings: np.ndarray, n: int) -> pa.Array:
+def _info_array(soa: EntitySoA, strings_arr: pa.Array, n: int) -> pa.Array:
     info = soa.info
     if info is None:
         return pa.nulls(n, _INFO_TYPE)
@@ -54,7 +64,7 @@ def _info_array(soa: EntitySoA, strings: np.ndarray, n: int) -> pa.Array:
         pa.array(info.uid, pa.int32(), mask=~info.has_uid),
         ts,
         pa.array(info.changeset, pa.int64()),
-        pa.array(strings[info.user_sid], pa.string()),
+        _take_str(strings_arr, info.user_sid),
         pa.array(info.visible, pa.bool_()),
     ]
     return pa.StructArray.from_arrays(
@@ -78,7 +88,7 @@ def _entity_batch(
     def want(col: str) -> bool:
         return columns is None or col in columns
 
-    strings = block.strings
+    strings_arr = _strings_arrow(block.strings)
     nulls_f64 = pa.nulls(n, pa.float64())
     nulls_i64 = pa.nulls(n, pa.int64())
     if kind == "node":
@@ -101,8 +111,8 @@ def _entity_batch(
         mstruct = pa.StructArray.from_arrays(
             [
                 pa.array(soa.mem_ref, pa.int64()),
-                pa.array(MEMBER_TYPE_NAMES[soa.mem_type], pa.string()),
-                pa.array(strings[soa.mem_role], pa.string()),
+                pc.take(pa.array(["node", "way", "relation"]), pa.array(soa.mem_type, pa.int8())),
+                _take_str(strings_arr, soa.mem_role),
             ],
             fields=list(_MEMBER_TYPE.value_type),
         )
@@ -113,19 +123,22 @@ def _entity_batch(
         members = pa.nulls(n, _MEMBER_TYPE)
 
     def const_str(v):
-        return pa.nulls(n, pa.string()) if v is None else pa.array([v] * n, pa.string())
+        # constant column without n python objects: dictionary take in C++
+        if v is None:
+            return pa.nulls(n, pa.string())
+        return pc.take(pa.array([v], pa.string()), pa.array(np.zeros(n, np.int32)))
 
     arrays = [
-        pa.array([kind] * n, pa.string()),
+        const_str(kind),
         pa.array(soa.id, pa.int64()),
         lat,
         lon,
         lat_nano_a,
         lon_nano_a,
-        _tags_array(soa, strings) if want("tags") else pa.nulls(n, _TAG_TYPE),
+        _tags_array(soa, strings_arr) if want("tags") else pa.nulls(n, _TAG_TYPE),
         refs,
         members,
-        _info_array(soa, strings, n) if want("info") else pa.nulls(n, _INFO_TYPE),
+        _info_array(soa, strings_arr, n) if want("info") else pa.nulls(n, _INFO_TYPE),
         const_str(doc_id),
         pa.nulls(n, pa.int32()) if span_idx is None else pa.array([span_idx] * n, pa.int32()),
         pa.nulls(n, pa.int64()) if blob_seq is None else pa.array([blob_seq] * n, pa.int64()),

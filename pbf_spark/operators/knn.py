@@ -62,11 +62,19 @@ def knn_join(
     id_col: str = "id",
     max_rounds: int = 3,
     start_ring: int = 2,
+    eager: bool = True,
 ) -> DataFrame:
     """→ (query_id, {id_col}, dist_m, rank) with rank 1..k per query.
 
     ``points`` needs (id_col, lat, lon); ``queries`` needs
     (query_id, lat, lon). Deterministic: ties broken by entity id.
+
+    ``eager`` (default): the result is localCheckpointed and the
+    operator's internal caches (cell-indexed points, per-round remaining
+    queries) are released before returning — the expansion loop is
+    inherently iterative, so without this the caches would outlive the
+    call. Pass eager=False to keep the plan lazy (caller manages caches
+    via spark.catalog.clearCache()).
     """
     pts = points.select(
         F.col(id_col).alias("_p_id"),
@@ -74,6 +82,7 @@ def knn_join(
         F.col("lon").alias("_p_lon"),
     ).withColumn("_p_cell", hex_cell_udf(res)(F.col("_p_lat"), F.col("_p_lon")))
     pts = pts.cache()
+    cached = [pts]
 
     remaining = queries.select(
         "query_id", F.col("lat").alias("_q_lat"), F.col("lon").alias("_q_lon")
@@ -114,6 +123,7 @@ def knn_join(
             )
         )
         remaining = remaining.join(F.broadcast(done_ids), "query_id", "left_anti").cache()
+        cached.append(remaining)
         if remaining.isEmpty():
             remaining = None
             break
@@ -141,4 +151,8 @@ def knn_join(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        for df in cached:
+            df.unpersist()
     return out

@@ -34,6 +34,7 @@ def build_pyfiles_zip(dest: Path) -> Path:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--repeat", type=int, default=1, help="spark-submit repetitions per level; per-metric best is kept")
     ap.add_argument("--out", default=str(REPO / "bench_out" / "scaling.json"))
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
@@ -51,22 +52,32 @@ def main() -> None:
 
     results = {}
     for n in levels:
-        out_json = tmp / f"level_{n}.json"
-        cmd = [
-            spark_submit,
-            "--master",
-            f"local[{n}]",
-            "--driver-memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-            "--py-files",
-            str(zpath),
-            str(REPO / "tools" / "scaling_job.py"),
-            fixture_dir,
-            str(out_json),
-        ]
-        print(f"== level local[{n}]: {' '.join(cmd)}", file=sys.stderr)
-        subprocess.run(cmd, check=True, cwd=tmp, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        results[n] = json.loads(out_json.read_text())
+        for rep in range(args.repeat):
+            out_json = tmp / f"level_{n}_{rep}.json"
+            cmd = [
+                spark_submit,
+                "--master",
+                f"local[{n}]",
+                "--driver-memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+                "--py-files",
+                str(zpath),
+                str(REPO / "tools" / "scaling_job.py"),
+                fixture_dir,
+                str(out_json),
+            ]
+            print(f"== level local[{n}] rep {rep}", file=sys.stderr)
+            subprocess.run(cmd, check=True, cwd=tmp, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            r = json.loads(out_json.read_text())
+            if n not in results:
+                results[n] = r
+            else:  # keep per-metric best across submits (IO-stall robustness)
+                for m in ("decode", "pip_join", "tiles"):
+                    if r[f"{m}_sec"] < results[n][f"{m}_sec"]:
+                        results[n][f"{m}_sec"] = r[f"{m}_sec"]
+                        for tm in (f"{m}_entities_per_sec", f"{m}_rows_per_sec"):
+                            if tm in r:
+                                results[n][tm] = r[tm]
 
     lo, hi = min(levels), max(levels)
     factor = hi / lo

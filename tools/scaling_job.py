@@ -20,7 +20,9 @@ import time
 from pyspark.sql import SparkSession
 
 
-def timed(fn, runs: int = 2) -> float:
+def timed(fn, runs: int = 4) -> float:
+    """Warm + best-of-N: this host shows multi-second IO stalls (loadavg
+    spikes with idle CPU), so the minimum is the capability estimate."""
     fn()  # warmup pass (python workers, codegen, page cache)
     best = float("inf")
     for _ in range(runs):
