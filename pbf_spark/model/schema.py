@@ -4,9 +4,11 @@ Data model per SURVEY.md §1.2: one unified entity DataFrame (discriminator
 column ``entity_type``) instead of three per-type frames, mirroring the
 reference's single decode pass emitting all types in file order
 (/root/reference/internal/decoder/primitive.go:36-41). Tags are stored as
-a key-sorted ``array<struct<key,value>>`` for deterministic hashing (the
-reference canonicalizes the same way when encoding:
-/root/reference/internal/encoder/primitive.go:282-297).
+``array<struct<key,value>>`` in WIRE ORDER — decode does not reorder. The
+encoder canonicalizes to key-sorted order on write (same as the reference:
+/root/reference/internal/encoder/primitive.go:282-297), so the
+sorted-tags invariant holds for self-encoded files only; round-trip digest
+tests canonicalize tags before hashing for that reason.
 """
 
 from __future__ import annotations

@@ -132,20 +132,30 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash: per-bit majority vote over token xxhash64 values.
+    """64-bit SimHash: per-bit majority vote over md5-derived token bits.
 
+    The 64 bits come from the first 16 hex chars of md5(token), split into
+    two 32-bit halves (hi = chars 1-8 → bits 63..32, lo = chars 9-16 →
+    bits 31..0) so the int conversion never exceeds signed-64 range under
+    ANSI mode — and so the IDENTICAL construction runs in any SQL engine
+    (the DuckDB oracle uses CAST('0x'||substr(md5(t),...) AS BIGINT)).
     Pure column expressions: explode → bit tests → sum votes → reassemble.
-    (xxhash64 is Spark-specific, so the driver records a rows-only check;
-    the partition-invariance test is the determinism gate.)
     """
     toks = (
         df.select(F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("_tok"))
-        .withColumn("_h", F.xxhash64("_tok"))
+        .withColumn("_hi", F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long"))
+        .withColumn("_lo", F.conv(F.substring(F.md5("_tok"), 9, 8), 16, 10).cast("long"))
     )
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.shiftrightunsigned(F.col("_h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftrightunsigned(
+                        F.col("_hi") if bit >= 32 else F.col("_lo"), bit % 32
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"_v{bit}")
             for bit in range(64)
         ]

@@ -518,6 +518,47 @@ FROM sh ORDER BY doc_id
 """
 
 
+def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n_hashes=8, bands=4, threshold=0.5).orderBy("id_a", "id_b")
+
+
+LSH_PAIRS_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          for i in generate_series(1, greatest(len(w) - 2, 0))] AS shingles
+  FROM t
+), sig AS (
+  SELECT doc_id,
+         [list_min([md5(s || '#' || CAST(h AS VARCHAR)) for s in shingles])
+          for h in generate_series(0, 7)] AS mh
+  FROM sh
+), bands AS (
+  SELECT doc_id, g.band, mh[2 * g.band + 1] || '|' || mh[2 * g.band + 2] AS key
+  FROM sig, generate_series(0, 3) AS g(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), dsh AS (
+  SELECT doc_id, list_distinct(shingles) AS s FROM sh
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / greatest(len(list_distinct(list_cat(sa.s, sb.s))), 1), 6) AS jaccard
+FROM cand c
+JOIN dsh sa ON sa.doc_id = c.id_a
+JOIN dsh sb ON sb.doc_id = c.id_b
+WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+            / greatest(len(list_distinct(list_cat(sa.s, sb.s))), 1), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.simsearch import cosine_topk
 
@@ -555,6 +596,38 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs).orderBy("doc_id")
 
 
+def _simhash_sql() -> str:
+    """DuckDB twin of operators.dedup.simhash: identical md5-hi/lo bit
+    construction, per-bit majority vote, signed-64 reassembly."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (({'hi' if b >= 32 else 'lo'} >> {b % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    assemble = "\n       + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2**b if b < 63 else -(2**63)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(64)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+         CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+  FROM t
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       {assemble} AS simhash
+FROM v ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -578,6 +651,7 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "ann_cosine_topk": ann_cosine_topk,
     "doc_simhash": doc_simhash,
+    "lsh_near_dup_pairs": lsh_near_dup_pairs,
 }
 
 ORACLES = {
@@ -595,8 +669,10 @@ ORACLES = {
     "doc_fingerprint": FINGERPRINT_SQL,
     "minhash_signatures": MINHASH_SQL,
     "ann_cosine_topk": ANN_SQL,
+    "lsh_near_dup_pairs": LSH_PAIRS_SQL,
     "s2_cell_counts": _s2_counts_sql(),
     "tile_density": _tile_density_sql(),
-    # hex_cell_counts / doc_simhash: icosahedral lookups & xxhash64 are
-    # not SQL-expressible → rows-only checks (recorded by the driver)
+    "doc_simhash": _simhash_sql(),
+    # hex_cell_counts: icosahedral face argmax + aperture-7 digits — SQL
+    # twin pending (see hexgrid); driver records a rows-only check
 }

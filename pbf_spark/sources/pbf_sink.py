@@ -113,14 +113,20 @@ def _encode_chunk(pdf: pd.DataFrame, kind: str, codec: str) -> bytes:
         lon = np.array([r["lon_nano"] for r in rows], np.int64)
         tags = [r["_tags"] for r in rows]
         info = None
-        if all(infos):
+        if any(infos):
+            # Mixed-provenance chunks: nodes without metadata get per-node
+            # defaults (version -1, visible, zeros) instead of dropping the
+            # whole DenseInfo — dropping would lose metadata for every node
+            # in the chunk.
+            _default = {"version": -1, "ts_ms": 0, "changeset": 0, "uid": 0, "user": "", "visible": True}
+            filled = [i if i else _default for i in infos]
             info = {
-                "version": [i["version"] for i in infos],
-                "ts_ms": [i["ts_ms"] or 0 for i in infos],
-                "changeset": [i["changeset"] or 0 for i in infos],
-                "uid": [i["uid"] for i in infos],
-                "user": [i["user"] for i in infos],
-                "visible": [1 if i["visible"] else 0 for i in infos],
+                "version": [i["version"] for i in filled],
+                "ts_ms": [i["ts_ms"] or 0 for i in filled],
+                "changeset": [i["changeset"] or 0 for i in filled],
+                "uid": [i["uid"] for i in filled],
+                "user": [i["user"] for i in filled],
+                "visible": [1 if i["visible"] else 0 for i in filled],
             }
         group = build_dense_nodes_group(ids, lat, lon, tags, sid, info=info)
     elif kind == "way":

@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .proto import WT_LEN, WT_VARINT, MessageBuilder, parse_message, scan_fields
+from .proto import WT_I32, WT_I64, WT_LEN, WT_VARINT, MessageBuilder, parse_message, scan_fields
 from .varint import (
     decode_varints,
     encode_varints,
@@ -349,6 +349,21 @@ def _packed_ragged(chunks: list[bytes], owners: list[int], n: int, signed: bool,
     """
     if not chunks:
         return np.zeros(n + 1, dtype=np.int64), _EMPTY_I64
+    if len(chunks) > 1:
+        own = np.asarray(owners, dtype=np.int64)
+        if (own[1:] == own[:-1]).any():
+            # A packed field split across repeated occurrences (legal protobuf)
+            # must decode as one run — merge adjacent same-owner chunks so
+            # delta decoding doesn't reset mid-message.
+            mc: list[bytes] = []
+            mo: list[int] = []
+            for c, o in zip(chunks, owners):
+                if mo and mo[-1] == o:
+                    mc[-1] = mc[-1] + c
+                else:
+                    mc.append(bytes(c))
+                    mo.append(o)
+            chunks, owners = mc, mo
     buf = b"".join(chunks)
     b = np.frombuffer(buf, dtype=np.uint8)
     is_end = (b & 0x80) == 0
@@ -364,9 +379,7 @@ def _packed_ragged(chunks: list[bytes], owners: list[int], n: int, signed: bool,
     vals = decode_varints(b)
     flat = zigzag_decode(vals) if signed else _to_i64(vals)
     if delta and flat.size:
-        # NB: delta runs reset per chunk; a single message whose packed
-        # field is split across chunks (legal but unseen in practice)
-        # would need chunk merging first.
+        # Delta runs reset per owner-merged chunk (one chunk == one message).
         cs = np.cumsum(flat)
         # value[i] within segment s = cs[i] - cs[start(s)-1]
         starts_all = np.concatenate(([0], np.cumsum(per_chunk)))[:-1]

@@ -2,7 +2,7 @@
 
 decode → re-encode (write_pbf) → re-decode; equality of per-type counts
 and an order-insensitive multiset digest over canonicalized entities
-(sorted tags — guaranteed by the decode schema; 1 cm-grid coords =
+(tags key-sorted inside the digest — decode emits wire order; 1 cm-grid coords =
 lat_nano; second-truncated timestamps), mirroring
 /root/reference/roundtrip_integration_test.go:204-309.
 """
@@ -26,7 +26,7 @@ def canonical_digest(entities):
         F.col("id"),
         F.coalesce(F.col("lat_nano").cast("string"), F.lit("")),
         F.coalesce(F.col("lon_nano").cast("string"), F.lit("")),
-        F.coalesce(F.to_json("tags"), F.lit("[]")),
+        F.coalesce(F.to_json(F.array_sort("tags")), F.lit("[]")),  # tags are wire-order; canonicalize here
         F.coalesce(F.to_json("refs"), F.lit("[]")),
         F.coalesce(F.to_json("members"), F.lit("[]")),
         F.coalesce(F.col("info.version").cast("string"), F.lit("")),

@@ -22,6 +22,8 @@ from pbf_spark.wire.osmformat import (
     parse_primitive_block,
 )
 
+from pbf_spark.wire.proto import MessageBuilder
+
 from .conftest import SAMPLE_PBF
 
 
@@ -176,3 +178,57 @@ def test_truncated_stream_rejected():
     data = frame.frame_blob("OSMData", blob)
     with pytest.raises(ValueError):
         list(frame.iter_blob_frames(io.BytesIO(data[:-10])))
+
+
+def _packed_sint64_delta(vals):
+    from pbf_spark.wire.varint import encode_varints, zigzag_encode
+
+    deltas = np.diff(np.asarray(vals, np.int64), prepend=np.int64(0))
+    return encode_varints(zigzag_encode(deltas).view(np.uint64))
+
+
+def test_way_unknown_fixed_width_fields_skipped():
+    """Spec-legal unknown fixed64/fixed32 fields must be skipped, not crash
+    (proto2 forward compat; reference skips via gogoproto generated code)."""
+    from pbf_spark.wire.proto import WT_I32, WT_I64
+    from pbf_spark.wire.varint import encode_varint
+
+    b = MessageBuilder()
+    b.varint(1, 7)  # id
+    b.bytes_field(8, _packed_sint64_delta([10, 25, 30]))  # refs
+    raw = (
+        b.tobytes()
+        + encode_varint(99 << 3 | WT_I64)
+        + b"\x01\x02\x03\x04\x05\x06\x07\x08"
+        + encode_varint(98 << 3 | WT_I32)
+        + b"\x01\x02\x03\x04"
+    )
+    soa = osmformat._decode_ways([memoryview(raw)], 1000)
+    assert soa.id[0] == 7
+    assert list(soa.refs) == [10, 25, 30]
+
+
+def test_way_refs_split_across_packed_chunks():
+    """A packed sint64 field split across repeated occurrences (legal
+    protobuf) must delta-decode as ONE run, not reset per chunk."""
+    full = _packed_sint64_delta([10, 25, 30, 40])
+    # split the encoded run between values 2 and 3: re-encode as two
+    # occurrences of field 8 carrying [d(10),d(15)] then [d(5),d(10)]
+    from pbf_spark.wire.varint import encode_varints, zigzag_encode
+
+    d = np.array([10, 15, 5, 10], np.int64)  # deltas of 10,25,30,40
+    part1 = encode_varints(zigzag_encode(d[:2]).view(np.uint64))
+    part2 = encode_varints(zigzag_encode(d[2:]).view(np.uint64))
+    b = MessageBuilder()
+    b.varint(1, 11)
+    b.bytes_field(8, part1)
+    b.bytes_field(8, part2)
+    soa = osmformat._decode_ways([memoryview(b.tobytes())], 1000)
+    assert list(soa.refs) == [10, 25, 30, 40]
+    # and a two-message batch where only one message is split
+    b2 = MessageBuilder()
+    b2.varint(1, 12)
+    b2.bytes_field(8, _packed_sint64_delta([100, 90]))
+    soa2 = osmformat._decode_ways([memoryview(b.tobytes()), memoryview(b2.tobytes())], 1000)
+    assert list(soa2.refs[soa2.ref_off[0] : soa2.ref_off[1]]) == [10, 25, 30, 40]
+    assert list(soa2.refs[soa2.ref_off[1] : soa2.ref_off[2]]) == [100, 90]
