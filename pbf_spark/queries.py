@@ -332,7 +332,10 @@ GROUP BY s2_cell ORDER BY n_points DESC, s2_cell LIMIT 50
 
 
 def hex_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hex res-7 occupancy (hex index needs table lookups → rows-only)."""
+    """Hex res-7 occupancy. The cell id is computed by the numpy hexgrid
+    Spark-side and by the equivalent pure-SQL expression
+    (spatial/hexgrid_expr.py) in DuckDB — a full value-level oracle check
+    of the from-scratch aperture-7 icosahedral index."""
     from .operators.spatial import hex_cell_udf
 
     pts = event_points(spark, sf_dir).withColumn(
@@ -344,6 +347,17 @@ def hex_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_points"), "hex_cell")
         .limit(50)
     )
+
+
+def _hex_counts_sql() -> str:
+    from .spatial.hexgrid_expr import hex_cell_sql_duckdb
+
+    src = hex_cell_sql_duckdb("lat", "lon", 7).format(src=f"({_POINTS_SQL})")
+    return f"""
+SELECT hex_cell, count(*) AS n_points
+FROM {src}
+GROUP BY hex_cell ORDER BY n_points DESC, hex_cell LIMIT 50
+"""
 
 
 def tile_density(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,6 +687,5 @@ ORACLES = {
     "s2_cell_counts": _s2_counts_sql(),
     "tile_density": _tile_density_sql(),
     "doc_simhash": _simhash_sql(),
-    # hex_cell_counts: icosahedral face argmax + aperture-7 digits — SQL
-    # twin pending (see hexgrid); driver records a rows-only check
+    "hex_cell_counts": _hex_counts_sql(),
 }

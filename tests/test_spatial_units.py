@@ -124,3 +124,29 @@ def test_hex_parent_consistency():
     # ~7 children per parent on average (aperture 7)
     ratio = len(np.unique(c9)) / len(np.unique(p8))
     assert 4.0 < ratio < 10.0
+
+
+def test_hexgrid_sql_twin_matches_numpy():
+    """DuckDB twin (hexgrid_expr) must be bit-exact vs numpy geo_to_cell,
+    globally (includes face seams / poles region)."""
+    import duckdb
+    import pandas as pd
+
+    from pbf_spark.spatial import hexgrid
+    from pbf_spark.spatial.hexgrid_expr import hex_cell_sql_duckdb
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    lat = rng.uniform(-89.9, 89.9, n)
+    lon = rng.uniform(-180.0, 180.0, n)
+    for res in (7, 9):
+        expected = hexgrid.geo_to_cell(lat, lon, res)
+        con = duckdb.connect()
+        con.register("pts_in", pd.DataFrame({"id": np.arange(n), "lat": lat, "lon": lon}))
+        sql = (
+            "SELECT id, hex_cell FROM "
+            + hex_cell_sql_duckdb("lat", "lon", res).format(src="pts_in")
+            + " ORDER BY id"
+        )
+        got = con.sql(sql).df()["hex_cell"].to_numpy()
+        assert (got == expected).all()
