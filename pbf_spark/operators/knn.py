@@ -29,11 +29,40 @@ DIST_M = "dist_m"
 
 
 def _ring_cells_udf(res: int, k: int):
+    """k-ring cell arrays, seam-padded and de-duplicated.
+
+    Ring members are produced by axial offsets re-indexed through geo
+    space (hexgrid.k_ring_cells); members landing on a DIFFERENT
+    icosahedron face sample the neighbor face's misaligned lattice at
+    cell spacing, which can leave sub-cell gaps. Padding every cross-face
+    member with its own 1-ring closes those gaps (misalignment is < 1
+    cell by construction — the reindex maps each axial offset to the
+    cell actually containing that geo point). Arrays are made distinct so
+    a point can never join a query twice (duplicate candidates would
+    consume window ranks)."""
+
     @pandas_udf(T.ArrayType(T.LongType()))
     def _udf(cell: pd.Series) -> pd.Series:
         cells = cell.to_numpy(np.int64)
         rings = hexgrid.k_ring_cells(cells, k)
-        return pd.Series(list(rings))
+        qface = (cells >> 50) & 0x3F
+        faces = (rings >> 50) & 0x3F
+        cross = faces != qface[:, None]
+        if not cross.any():
+            srt = np.sort(rings, axis=1)
+            if not (srt[:, 1:] == srt[:, :-1]).any():
+                return pd.Series(list(rings))
+            return pd.Series([np.unique(r) for r in rings])
+        rows, cols = np.nonzero(cross)
+        pads = hexgrid.k_ring_cells(rings[rows, cols], 1)
+        out = []
+        for i in range(cells.size):
+            sel = rows == i
+            if sel.any():
+                out.append(np.unique(np.concatenate([rings[i], pads[sel].ravel()])))
+            else:
+                out.append(np.unique(rings[i]))
+        return pd.Series(out)
 
     return _udf
 
@@ -89,10 +118,17 @@ def knn_join(
     ).withColumn("_q_cell", hex_cell_udf(res)(F.col("_q_lat"), F.col("_q_lon")))
 
     # guaranteed covered disc radius around any point of the query cell
-    # after a k-ring of radius r (conservative: lattice min-width with
-    # gnomonic margin, minus one circumradius for the in-cell offset)
+    # after a k-ring of radius r. Provable margin: gnomonic radial
+    # compression dgeo/dplane = cos^2(theta) is minimized at the face
+    # corners (theta_max ~ 37.4 deg for the icosahedron → cos^2 ~ 0.631),
+    # so geo distance ≥ 0.6 × plane distance everywhere on a face; r rings
+    # cover r × min-width in plane units from any point of the center
+    # cell; the 2-circumradius subtraction bounds the in-cell offset
+    # (plane ≥ geo for the subtracted term, also conservative).
+    nominal_width = hexgrid.hex_edge_m(res) * float(np.sqrt(3.0))
+
     def covered_m(r: int) -> float:
-        return max(0.0, r * 0.85 * hexgrid.hex_min_width_m(res) - 2 * hexgrid.hex_edge_m(res))
+        return max(0.0, r * 0.6 * nominal_width - 2 * hexgrid.hex_edge_m(res))
 
     results = []
     ring = start_ring

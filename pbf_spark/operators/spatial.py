@@ -2,18 +2,21 @@
 
 Filter-refine spatial join, the classic distributed pattern:
 
-1. polygons (a broadcast-scale dimension) → covering S2 level-13 cell
-   sets, computed driver-side and **broadcast** — no shuffle of the big
-   point side beyond the cell equi-join;
-2. candidate pairs by cell equality (Catalyst broadcast hash join);
+1. polygons → adaptive multi-level S2 covering (coarse cells interior,
+   fine at the boundary — spatial/covering.py), computed DISTRIBUTED via
+   mapInPandas and **broadcast** — no shuffle of the big point side
+   beyond the cell equi-join, no driver-side polygon collect;
+2. candidate pairs by ancestor-cell equality: points explode to their
+   (≤3) ancestor ids — pure bit math — and hash-join the covering once;
 3. exact even-odd ray-cast refinement as a pure Catalyst expression
    (whole-stage codegen over the broadcast edge arrays — candidate rows
-   never cross into Python).
+   never cross into Python); candidates from strictly-interior covering
+   cells skip the refine entirely (provably inside).
 
 At 100 TB the point side never moves: the only wide op is the final
 aggregation the caller adds. Cell assignment itself is one numpy pass
 per Arrow batch inside a pandas UDF; the polygon index (covering cells +
-edges) is built once and reusable across batches (PolygonIndex).
+edges + attrs) is built once and reusable across batches (PolygonIndex).
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..spatial import geometry, hexgrid, s2
+from ..spatial import covering, geometry, hexgrid, s2
 from ..spatial.s2_expr import with_s2_cell
 
 
@@ -82,94 +85,95 @@ def with_cells(
 # ---------------------------------------------------------------------------
 
 
-def polygon_covering_cells(ring: np.ndarray, level: int = 13) -> np.ndarray:
-    """S2 cells covering a polygon's bbox (superset of cells holding its
-    interior points — a valid, cheap prefilter). Sampling at quarter-cell
-    spacing guarantees every intersecting cell receives a sample."""
-    glat, glon = _bbox_samples(ring, level)
-    return np.unique(s2.lat_lon_to_cell_id(glat, glon, level))
+_COVER_SCHEMA = (
+    "polygon_id string, cover_cell long, cover_level int, interior boolean"
+)
 
 
-def _bbox_samples(ring: np.ndarray, level: int):
-    lat_min, lat_max, lon_min, lon_max = geometry.ring_bbox(ring)
-    step_m = s2.cell_size_m(level) / 4.0
-    step_lat = np.degrees(step_m / geometry.EARTH_RADIUS_M)
-    step_lon = step_lat / max(np.cos(np.radians((lat_min + lat_max) / 2.0)), 0.05)
-    lats = np.arange(lat_min - step_lat, lat_max + 2 * step_lat, step_lat)
-    lons = np.arange(lon_min - step_lon, lon_max + 2 * step_lon, step_lon)
-    glat, glon = np.meshgrid(lats, lons, indexing="ij")
-    return glat.ravel(), glon.ravel()
+def polygon_covering_df(
+    polygons: DataFrame,
+    levels: tuple[int, ...] = covering.DEFAULT_LEVELS,
+    max_cells: int = 8192,
+) -> DataFrame:
+    """Distributed adaptive covering: one numpy BFS per polygon inside
+    mapInPandas (coarse interior cells + fine boundary cells — see
+    spatial/covering.py). The polygon layer never has to fit the driver;
+    only the resulting covering (bounded by max_cells per polygon) is
+    broadcast by the PIP join."""
 
+    def gen(batches):
+        for pdf in batches:
+            outs = []
+            for pid, ring_raw in zip(pdf["polygon_id"], pdf["ring"]):
+                ring = np.array([[p["lat"], p["lon"]] for p in ring_raw], dtype=np.float64)
+                ids, lvls, inner = covering.polygon_covering(ring, levels, max_cells)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "polygon_id": pid,
+                            "cover_cell": ids,
+                            "cover_level": lvls.astype("int32"),
+                            "interior": inner,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
-def _rings_from_rows(rows) -> dict[str, np.ndarray]:
-    return {
-        r["polygon_id"]: np.array([[p["lat"], p["lon"]] for p in r["ring"]], dtype=np.float64)
-        for r in rows
-    }
+    return polygons.select("polygon_id", "ring").mapInPandas(gen, _COVER_SCHEMA)
 
 
 class PolygonIndex:
-    """Reusable broadcast polygon index: covering cells + edge arrays.
+    """Reusable broadcast polygon index: multi-level covering + edge
+    arrays + pass-through attributes, all built DISTRIBUTED (no
+    polygon collect; the layer can exceed driver memory) and cached —
+    reused across any number of point batches, exactly how a
+    streaming/batched pipeline amortizes the dimension side at scale."""
 
-    Built once per polygon layer (driver-side, vectorized across
-    polygons), reused across any number of point batches — exactly how a
-    streaming/batched pipeline amortizes the dimension side at scale.
-    """
-
-    def __init__(self, cover_df: DataFrame, edges_df: DataFrame, extra: dict):
+    def __init__(self, cover_df: DataFrame, edges_df: DataFrame, attrs_df: DataFrame | None, levels: list[int]):
         self.cover_df = cover_df
         self.edges_df = edges_df
-        self.extra = extra
+        self.attrs_df = attrs_df
+        self.levels = levels
+
+
+# ring → closed-edge array, entirely in Catalyst (no driver collect):
+# n drops the repeated closing vertex if present; edge i wraps via pmod
+_EDGES_EXPR = """
+CASE WHEN size(ring) > 1 AND ring[0].lat = element_at(ring, -1).lat
+                          AND ring[0].lon = element_at(ring, -1).lon
+     THEN transform(sequence(0, size(ring) - 2),
+          i -> struct(ring[i].lat AS y1, ring[i].lon AS x1,
+                      ring[pmod(i + 1, size(ring) - 1)].lat AS y2,
+                      ring[pmod(i + 1, size(ring) - 1)].lon AS x2))
+     ELSE transform(sequence(0, size(ring) - 1),
+          i -> struct(ring[i].lat AS y1, ring[i].lon AS x1,
+                      ring[pmod(i + 1, size(ring))].lat AS y2,
+                      ring[pmod(i + 1, size(ring))].lon AS x2))
+END
+"""
 
 
 def build_polygon_index(
     spark: SparkSession, polygons: DataFrame, level: int = 13,
     keep_polygon_cols: tuple[str, ...] = ("category",),
+    levels: tuple[int, ...] | None = None,
+    max_cells: int = 8192,
 ) -> PolygonIndex:
-    rows = polygons.collect()
-    rings = _rings_from_rows(rows)
-    extra = {r["polygon_id"]: tuple(r[c] for c in keep_polygon_cols) for r in rows}
-
-    # one vectorized S2 pass over the sample grids of ALL polygons
-    sample_lat, sample_lon, sample_pid = [], [], []
-    for pid, ring in rings.items():
-        glat, glon = _bbox_samples(ring, level)
-        sample_lat.append(glat)
-        sample_lon.append(glon)
-        sample_pid.append(np.full(glat.size, pid, dtype=object))
-    cells = s2.lat_lon_to_cell_id(np.concatenate(sample_lat), np.concatenate(sample_lon), level)
-    cover_pdf = pd.DataFrame(
-        {"s2_cell": cells, "polygon_id": np.concatenate(sample_pid)}
-    ).drop_duplicates()
-    cover_df = spark.createDataFrame(cover_pdf.astype({"s2_cell": "int64", "polygon_id": "string"}))
-
-    edge_rows = []
-    for pid, ring in rings.items():
-        r = ring[:-1] if (ring.shape[0] > 1 and (ring[0] == ring[-1]).all()) else ring
-        edges = [
-            {
-                "y1": float(r[i, 0]),
-                "x1": float(r[i, 1]),
-                "y2": float(r[(i + 1) % len(r), 0]),
-                "x2": float(r[(i + 1) % len(r), 1]),
-            }
-            for i in range(len(r))
-        ]
-        edge_rows.append((pid, edges))
-    from ..util import small_df
-
-    edges_df = small_df(
-        spark,
-        edge_rows,
-        "polygon_id string, _edges array<struct<y1:double,x1:double,y2:double,x2:double>>",
+    levels = levels or tuple(lv for lv in covering.DEFAULT_LEVELS if lv < level) + (level,)
+    cover_df = polygon_covering_df(polygons, levels, max_cells).cache()
+    edges_df = polygons.select("polygon_id", F.expr(_EDGES_EXPR).alias("_edges")).cache()
+    attrs_df = (
+        polygons.select("polygon_id", *keep_polygon_cols).cache() if keep_polygon_cols else None
     )
-    # materialize both sides: the index is rebuilt otherwise on every join
-    # (small_df's python task would re-run serially per query)
-    cover_df = cover_df.cache()
-    edges_df = edges_df.cache()
-    cover_df.count()
+    # materialize: the index is rebuilt otherwise on every join
+    present = sorted(
+        r[0] for r in cover_df.select("cover_level").distinct().collect()
+    )
     edges_df.count()
-    return PolygonIndex(cover_df, edges_df, extra)
+    if attrs_df is not None:
+        attrs_df.count()
+    return PolygonIndex(cover_df, edges_df, attrs_df, present)
 
 
 def point_in_polygon_join(
@@ -191,7 +195,6 @@ def point_in_polygon_join(
     else:
         index = build_polygon_index(spark, polygons, level, keep_polygon_cols)
     cover_df = index.cover_df
-    extra = index.extra
 
     # refine stays JVM-side: the even-odd ray cast is a whole-stage-codegen
     # aggregate over the polygon's (broadcast) edge array — candidate rows
@@ -210,12 +213,32 @@ def point_in_polygon_join(
     pts = points
     if "s2_cell" not in pts.columns:
         pts = pts.withColumn("s2_cell", s2_cell_udf(level)(F.col(lat_col), F.col(lon_col)))
-    cand = pts.join(F.broadcast(cover_df), "s2_cell").join(F.broadcast(edges_df), "polygon_id")
-    result = cand.where(inside).drop("_edges")
-    if keep_polygon_cols:
-        extra_rows = [(k, *v) for k, v in extra.items()]
-        extra_df = spark.createDataFrame(
-            pd.DataFrame(extra_rows, columns=["polygon_id", *keep_polygon_cols])
-        )
-        result = result.join(F.broadcast(extra_df), "polygon_id")
+    # multi-level prefilter in ONE broadcast hash join + ONE scan of the
+    # fact side: each point explodes to its ancestor id at every covering
+    # level present (<= 3 bit-math longs; ids are level-unique), and the
+    # whole covering joins on that key. Coverings mark strictly-interior
+    # cells, whose candidates skip the ray cast (they'd pass it anyway —
+    # an interior cell contains no boundary point — so results are
+    # identical; it just removes the refine cost for the bulk of a large
+    # polygon's points).
+    anc = F.array(
+        *[
+            F.expr(covering.ancestor_at_level_expr("s2_cell", level, lv))
+            for lv in index.levels
+        ]
+    )
+    cand = pts.withColumn("_anc", F.explode(anc)).join(
+        F.broadcast(cover_df), F.col("_anc") == F.col("cover_cell")
+    ).drop("_anc", "cover_cell", "cover_level")
+    inner = cand.where(F.col("interior")).drop("interior")
+    boundary = (
+        cand.where(~F.col("interior"))
+        .drop("interior")
+        .join(F.broadcast(edges_df), "polygon_id")
+        .where(inside)
+        .drop("_edges")
+    )
+    result = inner.unionByName(boundary)
+    if keep_polygon_cols and index.attrs_df is not None:
+        result = result.join(F.broadcast(index.attrs_df), "polygon_id")
     return result

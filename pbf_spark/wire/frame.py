@@ -113,6 +113,14 @@ def compress_payload(raw: bytes, codec: str = "zlib") -> bytes:
         return zlib.compress(raw)
     if codec == "lzma":
         return lzma.compress(raw)
+    if codec == "lz4":
+        if _lz4 is None:
+            raise NotImplementedError("lz4 not installed in this environment")
+        return _lz4.compress(raw)
+    if codec == "zstd":
+        if _zstd is None:
+            raise NotImplementedError("zstandard not installed in this environment")
+        return _zstd.ZstdCompressor().compress(raw)
     raise ValueError(f"unsupported write codec {codec}")
 
 

@@ -127,3 +127,41 @@ def test_raster_to_vector_roundtrip(nodes):
     assert v.agg(F.sum("n")).first()[0] == nodes.count()
     back = spatial.with_cells(v, s2_level=10).filter(F.col("s2_cell") != F.col("tile_cell"))
     assert back.count() == 0
+
+
+def test_knn_exact_at_icosahedron_seams(spark):
+    """Brute-force parity with query points ON icosahedron edges and a
+    point cloud straddling the seams (ADVICE round-1: k-ring coverage at
+    face boundaries). Seam padding + the provable gnomonic margin must
+    keep the neighbor sets exact."""
+    from pbf_spark.spatial import hexgrid
+    from pbf_spark.spatial.geometry import haversine_m, unit_xyz_to_latlon
+
+    rng = np.random.default_rng(99)
+    # midpoints of the first 6 icosahedron edges = exact seam points
+    seams = []
+    for a, b, c in hexgrid._FACES[:6]:
+        m = (hexgrid._VERTS[a] + hexgrid._VERTS[b]) / 2.0
+        m = m / np.linalg.norm(m)
+        seams.append(unit_xyz_to_latlon(m[0], m[1], m[2]))
+    q_lat = np.array([s[0] for s in seams], dtype=np.float64)
+    q_lon = np.array([s[1] for s in seams], dtype=np.float64)
+    # cloud: 400 points within ~3 km of each seam point (res-9 cells ~350m)
+    p_lat = np.repeat(q_lat, 400) + rng.uniform(-0.03, 0.03, 2400)
+    p_lon = np.repeat(q_lon, 400) + rng.uniform(-0.03, 0.03, 2400)
+    pts = spark.createDataFrame(
+        __import__("pandas").DataFrame(
+            {"id": np.arange(2400), "lat": p_lat, "lon": p_lon}
+        )
+    )
+    queries = spark.createDataFrame(
+        __import__("pandas").DataFrame(
+            {"query_id": np.arange(len(seams)), "lat": q_lat, "lon": q_lon}
+        )
+    )
+    got = knn.knn_join(pts, queries, k=5).toPandas().sort_values(["query_id", "rank"])
+    for qi in range(len(seams)):
+        d = haversine_m(q_lat[qi], q_lon[qi], p_lat, p_lon)
+        order = np.lexsort((np.arange(2400), d))[:5]
+        expected = list(np.arange(2400)[order])
+        assert list(got[got["query_id"] == qi]["id"]) == expected, f"query {qi}"

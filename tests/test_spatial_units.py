@@ -150,3 +150,59 @@ def test_hexgrid_sql_twin_matches_numpy():
         )
         got = con.sql(sql).df()["hex_cell"].to_numpy()
         assert (got == expected).all()
+
+
+def test_binned_ray_cast_matches_brute():
+    rng = np.random.default_rng(3)
+    ring = np.cumsum(rng.normal(size=(300, 2)), axis=0)
+    lat = rng.uniform(ring[:, 0].min() - 1, ring[:, 0].max() + 1, 60000)
+    lon = rng.uniform(ring[:, 1].min() - 1, ring[:, 1].max() + 1, 60000)
+    a = geometry.points_in_ring(lat, lon, ring)
+    b = geometry.points_in_ring_binned(lat, lon, ring)
+    assert (a == b).all()
+
+
+def test_adaptive_covering_superset_and_interior_exactness():
+    """Every level-13 cell holding an inside point must be covered by a
+    returned cell (prefilter superset); points in interior-flagged cells
+    must ALL be inside (the refine-skip guarantee)."""
+    from pbf_spark.spatial import covering
+
+    rng = np.random.default_rng(11)
+    ring = np.array(
+        [(51.36, -0.30), (51.45, -0.22), (51.60, -0.33), (51.52, -0.15),
+         (51.63, 0.05), (51.50, 0.02), (51.42, 0.16), (51.44, -0.05)]
+    )
+    ids, lvl, inner = covering.polygon_covering(ring)
+    lat_min, lat_max, lon_min, lon_max = geometry.ring_bbox(ring)
+    lat = rng.uniform(lat_min - 0.1, lat_max + 0.1, 100000)
+    lon = rng.uniform(lon_min - 0.1, lon_max + 0.1, 100000)
+    inside = geometry.points_in_ring(lat, lon, ring)
+    c13 = s2.lat_lon_to_cell_id(lat, lon, 13)
+    matched = np.zeros(lat.size, dtype=bool)
+    int_match = np.zeros(lat.size, dtype=bool)
+    for lv in sorted(set(lvl.tolist())):
+        anc = s2.parent_cell_id(c13, 13, lv) if lv < 13 else c13
+        matched |= np.isin(anc, ids[lvl == lv])
+        int_match |= np.isin(anc, ids[(lvl == lv) & inner])
+    assert not (inside & ~matched).any()
+    assert not (int_match & ~inside).any()
+
+
+def test_adaptive_covering_country_scale_bounded():
+    """A country-sized polygon must cover in bounded cells and < 1 s —
+    the round-1 meshgrid was O(bbox_area/cell_area) and driver-bound."""
+    import time
+
+    from pbf_spark.spatial import covering
+
+    th = np.linspace(0, 2 * np.pi, 400, endpoint=False)
+    r = 5.0 + 1.5 * np.sin(5 * th) + 0.8 * np.cos(11 * th)
+    ring = np.stack([48 + r * np.sin(th), 10 + r * np.cos(th) / np.cos(np.radians(48))], axis=1)
+    t0 = time.time()
+    ids, lvl, inner = covering.polygon_covering(ring)
+    elapsed = time.time() - t0
+    assert ids.size < 10000
+    assert inner.sum() > 0.5 * ids.size  # interior dominated, coarse levels
+    assert len(set(lvl.tolist())) >= 2  # genuinely hierarchical
+    assert elapsed < 5.0  # generous: host shows multi-second noise spikes

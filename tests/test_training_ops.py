@@ -101,3 +101,42 @@ def test_multimodal_features_deterministic(spark, fixture_dir):
     frames = multimodal.frame_sample(blobs, every_n=3)
     assert frames.count() > 0
     assert frames.groupBy("media_ref", "frame_idx").count().filter("count > 1").count() == 0
+
+
+def test_banded_lsh_recall_and_bucket_bound_100k(spark):
+    """VERDICT #7 done-criterion: ≥100k vectors, measured recall of the
+    banded+multiprobe LSH path vs planted near-identical pairs, and the
+    documented bucket-size bound (hot buckets get reserve-bit refinement,
+    so no post-refinement bucket exceeds what the reserve bits allow)."""
+    from pyspark.sql import functions as F
+
+    from pbf_spark.fixtures.synth import synth_embeddings
+
+    n = 100_000
+    emb = synth_embeddings(spark, n).cache()
+    assert emb.count() == n
+    base = n - n // 20  # synth plants ids >= base as near-dups of id % base
+
+    max_bucket = 2000
+    pairs = simsearch.embedding_dedup(
+        emb, threshold=0.999, n_planes=16, bands=4, reserve_planes=8, max_bucket=max_bucket
+    ).cache()
+    planted = {(i % base, i) for i in range(base, n)}
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.95, recall
+
+    # bucket-size bound: after hot-bucket refinement the effective join
+    # keys must all sit under max_bucket × slack (reserve bits split hot
+    # buckets ~256-fold; a pathological all-identical pileup would still
+    # collapse — that residual is the documented limit of sign-LSH)
+    planes = simsearch._band_planes(4, 16, 64, 42, extra=8)
+    budf = simsearch._band_bucket_udf(planes, 16)
+    x = emb.withColumn("_pk", F.explode(budf(F.col("embedding")))).withColumn(
+        "_bucket", F.expr(f"_pk & {simsearch._COARSE_MASK}")
+    )
+    keyed = simsearch._with_key(x, simsearch._hot_buckets(x, max_bucket))
+    worst = keyed.groupBy("_key").count().agg(F.max("count")).first()[0]
+    assert worst <= max_bucket * 2, worst
+    emb.unpersist()
+    pairs.unpersist()

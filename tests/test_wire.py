@@ -232,3 +232,23 @@ def test_way_refs_split_across_packed_chunks():
     soa2 = osmformat._decode_ways([memoryview(b.tobytes()), memoryview(b2.tobytes())], 1000)
     assert list(soa2.refs[soa2.ref_off[0] : soa2.ref_off[1]]) == [10, 25, 30, 40]
     assert list(soa2.refs[soa2.ref_off[1] : soa2.ref_off[2]]) == [100, 90]
+
+
+@pytest.mark.parametrize("codec,mod", [("lz4", "lz4.frame"), ("zstd", "zstandard")])
+def test_optional_codec_roundtrip(codec, mod):
+    """Full reference codec matrix (unpacker.go:38-81): exercised on any
+    deployment image that ships the libs; skipped where absent (this
+    sandbox). The import-gated seams raise NotImplementedError otherwise."""
+    import importlib
+
+    try:
+        importlib.import_module(mod)
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            frame.pack_blob(b"x" * 100, codec)
+        pytest.skip(f"{mod} not installed")
+    raw = bytes(range(256)) * 40
+    blob = frame.pack_blob(raw, codec)
+    got_codec, _, _ = frame.split_blob(blob)
+    assert got_codec == codec
+    assert frame.unpack_blob(blob) == raw

@@ -1,0 +1,139 @@
+"""One worker of the bandwidth-fair multi-JVM scaling protocol.
+
+Launched by tools/scaling_multi.py as:
+  spark-submit --master local[N] --py-files pbf_spark.zip \
+      tools/scaling_worker.py <fixture_dir> <out_json> <barrier_dir> \
+      <worker_id> <n_workers> <window_sec>
+
+Why this protocol exists: a real 4N-executor cluster has 4x the memory
+bandwidth and 4x the memory controllers of an N-executor cluster —
+local[8] → local[32] inside ONE JVM on ONE host scales only cores, so
+wall-clock efficiency there under-measures the engine. K isolated
+local[8] JVMs running CONCURRENTLY are the faithful single-host stand-in
+for K executors: separate heaps, separate GC, separate shuffle dirs,
+separate Python worker pools — exactly what K executor processes look
+like on a cluster, sharing only what cluster nodes never share (one
+host's DRAM). Aggregate throughput of K=4 vs K=1 is the scaling number.
+
+Protocol per phase (decode, pip_join):
+  warm once → signal ready_{phase}_{id} → wait for go_{phase} (all
+  workers ready) → run the phase in a loop for >= window_sec → report
+  runs, elapsed, CPU seconds of this worker's whole process tree.
+Fixed-duration fully-overlapped windows are the standard concurrent-
+throughput methodology; per-run best-of-N would let a worker's "best"
+land in other workers' idle gaps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def _barrier(barrier_dir: str, phase: str, worker_id: int, timeout: float = 600.0) -> None:
+    open(os.path.join(barrier_dir, f"ready_{phase}_{worker_id}"), "w").close()
+    go = os.path.join(barrier_dir, f"go_{phase}")
+    t0 = time.time()
+    while not os.path.exists(go):
+        if time.time() - t0 > timeout:
+            raise TimeoutError(f"barrier {phase} timed out")
+        time.sleep(0.05)
+
+
+def _window(fn, window_sec: float, cpu_fn):
+    cpu0 = cpu_fn()
+    t0 = time.time()
+    runs = 0
+    while True:
+        fn()
+        runs += 1
+        if time.time() - t0 >= window_sec:
+            break
+    elapsed = time.time() - t0
+    return {"runs": runs, "elapsed_sec": round(elapsed, 3), "cpu_sec": round(cpu_fn() - cpu0, 3)}
+
+
+def main(fixture_dir: str, out_json: str, barrier_dir: str, worker_id: int, n_workers: int, window_sec: float) -> None:
+    from proc_cpu import descendants_cpu_seconds
+
+    # this python driver is a CHILD of the local-mode JVM (spark-submit →
+    # java → python); the Python workers are the JVM's children. Root the
+    # CPU accounting at the JVM so the whole worker tree is covered.
+    jvm_root = os.getppid()
+    cpu_fn = lambda: descendants_cpu_seconds(jvm_root)
+
+    spark = (
+        SparkSession.builder.appName(f"pbf_spark-scaling-w{worker_id}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.local.dir", f"/dev/shm/pbf-spark-local-w{worker_id}")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "524288")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+
+    from pbf_spark.operators import decode, spatial
+    from pbf_spark.sources import iceberg_lite
+
+    manifest = json.load(open(f"{fixture_dir}/fixture_manifest.json"))
+    docs = iceberg_lite.read_table(spark, f"{fixture_dir}/documents_interleaved")
+    blobs = iceberg_lite.read_table(spark, f"{fixture_dir}/media_blobs")
+    polys = spark.read.parquet(f"{fixture_dir}/polygons.parquet")
+
+    R = int(os.environ.get("SCALING_REPLICATE", "4"))
+    import functools
+
+    docs = functools.reduce(lambda a, b: a.unionAll(b), [docs] * R)
+    n_entities = manifest["total_entities"] * R
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    parts = cores * 2
+    decode_run = lambda: force(decode.decode_documents(docs, blobs, partitions=parts))
+    decode_run()  # warmup: codegen, python daemons, page cache
+    _barrier(barrier_dir, "decode", worker_id)
+    decode_res = _window(decode_run, window_sec, cpu_fn)
+
+    nodes = (
+        decode.decode_documents(docs, blobs, partitions=parts, columns=frozenset())
+        .where("entity_type='node'")
+        .select("id", "lat", "lon")
+        .cache()
+    )
+    n_nodes = nodes.count()
+    index = spatial.build_polygon_index(spark, polys)
+    n_join = spatial.point_in_polygon_join(nodes, index).count()  # warmup
+    pip_run = lambda: spatial.point_in_polygon_join(nodes, index).count()
+    _barrier(barrier_dir, "pip", worker_id)
+    pip_res = _window(pip_run, window_sec, cpu_fn)
+
+    out = {
+        "worker_id": worker_id,
+        "n_workers": n_workers,
+        "cores": cores,
+        "replicate": R,
+        "entities_per_run": n_entities,
+        "n_nodes": n_nodes,
+        "pip_rows_per_run": n_join,
+        "decode": decode_res,
+        "pip": pip_res,
+    }
+    with open(out_json, "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4]), int(sys.argv[5]), float(sys.argv[6]))
