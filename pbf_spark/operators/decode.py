@@ -183,7 +183,10 @@ def _decode_map_arrow(
             if blob_types[i] != "OSMData":
                 continue  # header blobs are handled driver-side (A2)
             yield from decode_blob_payload(
-                payloads[i].as_py(),
+                # as_buffer(): zero-copy view into the Arrow batch (as_py()
+                # would memcpy every ~0.5 MB payload; the host memory
+                # system is the decode bottleneck, not CPU)
+                memoryview(payloads[i].as_buffer()),
                 codecs[i],
                 raw_sizes[i] or 0,
                 doc_ids[i],

@@ -731,7 +731,10 @@ class Header:
         if self.bbox_nano is None:
             return None
         l, r, t, b = self.bbox_nano
-        return {"left": l * 1e-9, "right": r * 1e-9, "top": t * 1e-9, "bottom": b * 1e-9}
+        # divide (not multiply by 1e-9): matches the reference ToDegrees
+        # float64(nano)/1e9 exactly (model/types.go:114-117) — the product
+        # form differs in the last ulp and would break DMS/ftoa goldens
+        return {"left": l / 1e9, "right": r / 1e9, "top": t / 1e9, "bottom": b / 1e9}
 
 
 def parse_header_block(raw: bytes) -> Header:

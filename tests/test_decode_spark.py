@@ -121,3 +121,31 @@ def test_decode_is_narrow(spark, fixture_dir):
     blobs = iceberg_lite.read_table(spark, fixture_dir / "media_blobs")
     plan = decode.decode_blobs(blobs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_degrees_scalar_functions(spark):
+    """A28 completion: E5/E6/E7 half-away rounding, DMS formatting,
+    ParseDegrees (reference model/types.go:62-139 + types_test.go)."""
+    import pandas as pd
+
+    from pbf_spark.model import degrees as D
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"d": [51.7668597, -0.2353761, 0.5e-7, -0.5e-7, 1.0, -1.5]})
+    )
+    got = df.select(
+        D.degrees_e5("d").alias("e5"),
+        D.degrees_e6("d").alias("e6"),
+        D.degrees_e7("d").alias("e7"),
+        D.degrees_coordinate("d").alias("nano"),
+        D.dms_string(F.col("d")).alias("dms"),
+        D.parse_degrees(F.lit("51.7668597")).alias("parsed"),
+        D.equal_within(F.col("d"), F.col("d") + 1e-10).alias("eq9"),
+    ).collect()
+    assert [r["e7"] for r in got] == [517668597, -2353761, 1, -1, 10000000, -15000000]
+    assert got[0]["e5"] == 5176686 and got[0]["e6"] == 51766860
+    assert got[0]["nano"] == int(51.7668597 * 1e9)  # Go int64() truncation semantics
+    assert got[4]["dms"] == "1° 0' 0\""
+    assert got[5]["dms"] == "-1° 30' 0\""
+    assert got[0]["parsed"] == 51.7668597
+    assert all(r["eq9"] for r in got)

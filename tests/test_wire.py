@@ -252,3 +252,30 @@ def test_optional_codec_roundtrip(codec, mod):
     got_codec, _, _ = frame.split_blob(blob)
     assert got_codec == codec
     assert frame.unpack_blob(blob) == raw
+
+
+def test_info_render_golden():
+    """pbf-info text/JSON render parity (cmd/pbf/info/info.go:174-206) on
+    the reference sample fixture."""
+    import json as _json
+
+    from pbf_spark.sources import info
+
+    i = info.read_info(SAMPLE_PBF, extended=True)
+    txt = info.render_txt(i)
+    assert txt.splitlines() == [
+        "BoundingBox: [(51.7668597, -0.2353761) (51.7648407, -0.2285134)]",
+        "RequiredFeatures: OsmSchema-V0.6, DenseNodes",
+        "OptionalFeatures: Sort.Type_then_ID",
+        "WritingProgram: osmconvert 0.7G",
+        "Source: http://www.openstreetmap.org/api/0.6",
+        "OsmosisReplicationTimestamp: 0001-01-01T00:00:00Z",
+        "OsmosisReplicationSequenceNumber: 0",
+        "OsmosisReplicationBaseURL: ",
+        "NodeCount: 290",
+        "WayCount: 44",
+        "RelationCount: 5",
+    ]
+    j = _json.loads(info.render_json(i))
+    assert j["node_count"] == 290 and j["way_count"] == 44 and j["relation_count"] == 5
+    assert j["bounding_box"]["top"] == 51.7668597
