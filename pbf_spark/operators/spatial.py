@@ -230,15 +230,15 @@ def point_in_polygon_join(
     cand = pts.withColumn("_anc", F.explode(anc)).join(
         F.broadcast(cover_df), F.col("_anc") == F.col("cover_cell")
     ).drop("_anc", "cover_cell", "cover_level")
-    inner = cand.where(F.col("interior")).drop("interior")
-    boundary = (
-        cand.where(~F.col("interior"))
-        .drop("interior")
-        .join(F.broadcast(edges_df), "polygon_id")
-        .where(inside)
-        .drop("_edges")
+    # single pipeline (a union of interior/boundary branches would
+    # re-scan the fact side once per branch): every candidate probes the
+    # broadcast edge table, and `interior OR raycast` short-circuits in
+    # codegen so interior-cell rows never evaluate the edge aggregate
+    result = (
+        cand.join(F.broadcast(edges_df), "polygon_id")
+        .where(F.col("interior") | inside)
+        .drop("_edges", "interior")
     )
-    result = inner.unionByName(boundary)
     if keep_polygon_cols and index.attrs_df is not None:
         result = result.join(F.broadcast(index.attrs_df), "polygon_id")
     return result
