@@ -149,3 +149,48 @@ def test_degrees_scalar_functions(spark):
     assert got[5]["dms"] == "-1° 30' 0\""
     assert got[0]["parsed"] == 51.7668597
     assert all(r["eq9"] for r in got)
+
+
+def test_mid_stream_cancellation(spark, fixture_dir):
+    """Reference decoder_integration_test.go:41-88 analogue: cancelling a
+    decode mid-stream aborts promptly with an error and leaves the
+    session healthy for the next query (Spark's mapped primitive is job
+    cancellation via job groups)."""
+    import threading
+    import time
+
+    from pbf_spark.operators import decode as dec
+    from pbf_spark.sources import iceberg_lite
+
+    docs = iceberg_lite.read_table(spark, fixture_dir / "documents_interleaved")
+    blobs = iceberg_lite.read_table(spark, fixture_dir / "media_blobs")
+    # replicate so the job runs long enough to be caught mid-flight
+    big = docs
+    for _ in range(8):
+        big = big.unionAll(big)
+    entities = dec.decode_documents(big, blobs)
+
+    err: list[Exception] = []
+
+    def run():
+        spark.sparkContext.setJobGroup("cancel-me", "mid-stream cancel test")
+        try:
+            entities.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # expected: cancelled
+            err.append(e)
+
+    t = threading.Thread(target=run)
+    t.start()
+    time.sleep(1.5)  # let planning finish / tasks start
+    # cancelJobGroup only aborts ACTIVE jobs — keep cancelling so the
+    # cancel can't race ahead of job submission
+    for _ in range(120):
+        spark.sparkContext.cancelJobGroup("cancel-me")
+        t.join(timeout=0.5)
+        if not t.is_alive():
+            break
+    assert not t.is_alive(), "cancelled job did not terminate"
+    assert err, "cancellation did not surface as an error"
+    assert "cancel" in str(err[0]).lower()
+    # session stays usable
+    assert docs.count() > 0
