@@ -30,7 +30,7 @@ WORDS_PER_DOC = 20
 def synth_docs(spark: SparkSession, n: int, dup_tail: int | None = None) -> DataFrame:
     """→ (doc_id long, text string) with a planted near-dup tail."""
     dup_tail = dup_tail if dup_tail is not None else max(n // 20, 1)
-    base = n - dup_tail
+    base = max(n - dup_tail, 1)  # n=1 (or dup_tail>=n) must not yield id % 0
     # word j of doc b: vocab index from a cheap integer mix (codegen-only)
     word = (
         f"concat('w', pmod(_b * 2654435761 + (i + 1) * 40503 + pmod(_b * (i + 7), 997), {VOCAB_SIZE}))"
@@ -55,7 +55,7 @@ def synth_docs(spark: SparkSession, n: int, dup_tail: int | None = None) -> Data
 def synth_embeddings(spark: SparkSession, n: int, dim: int = 64, dup_tail: int | None = None) -> DataFrame:
     """→ (vec_id long, embedding array<float>) with near-identical tail."""
     dup_tail = dup_tail if dup_tail is not None else max(n // 20, 1)
-    base = n - dup_tail
+    base = max(n - dup_tail, 1)  # guard id % 0 for n=1 / dup_tail>=n
     return (
         spark.range(n)
         .withColumn("_b", F.expr(f"id % {base}"))

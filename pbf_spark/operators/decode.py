@@ -140,8 +140,8 @@ def _entity_batch(
         members,
         _info_array(soa, strings_arr, n) if want("info") else pa.nulls(n, _INFO_TYPE),
         const_str(doc_id),
-        pa.nulls(n, pa.int32()) if span_idx is None else pa.array([span_idx] * n, pa.int32()),
-        pa.nulls(n, pa.int64()) if blob_seq is None else pa.array([blob_seq] * n, pa.int64()),
+        pa.nulls(n, pa.int32()) if span_idx is None else pa.array(np.full(n, span_idx, np.int32)),
+        pa.nulls(n, pa.int64()) if blob_seq is None else pa.array(np.full(n, blob_seq, np.int64)),
     ]
     return pa.RecordBatch.from_arrays(arrays, schema=ENTITY_ARROW_SCHEMA)
 
@@ -167,8 +167,31 @@ def decode_blob_payload(
 
 
 def _decode_map_arrow(
-    batches: Iterator[pa.RecordBatch], columns: frozenset[str] | None = None
+    batches: Iterator[pa.RecordBatch],
+    columns: frozenset[str] | None = None,
+    coalesce_rows: int = 65536,
 ) -> Iterator[pa.RecordBatch]:
+    # Per-blob decode emits ≤8000-row batches (1-3 per blob); shipping
+    # those individually costs a fixed Arrow-IPC + JVM-columnar-batch
+    # overhead per batch, which dominated r2's flat ~1.1M entities/s.
+    # Coalescing into ~coalesce_rows batches pays one extra column-level
+    # memcpy (cheap: warm memcpy streams at ~18 GB/s) to cut the per-batch
+    # fixed cost ~8x.
+    pending: list[pa.RecordBatch] = []
+    pending_rows = 0
+
+    def flush() -> list[pa.RecordBatch]:
+        nonlocal pending, pending_rows
+        if not pending:
+            return []
+        out = (
+            pending
+            if len(pending) == 1
+            else pa.Table.from_batches(pending).combine_chunks().to_batches()
+        )
+        pending, pending_rows = [], 0
+        return out
+
     for batch in batches:
         cols = {name: batch.column(name) for name in batch.schema.names}
         n = batch.num_rows
@@ -182,7 +205,7 @@ def _decode_map_arrow(
         for i in range(n):
             if blob_types[i] != "OSMData":
                 continue  # header blobs are handled driver-side (A2)
-            yield from decode_blob_payload(
+            for rb in decode_blob_payload(
                 # as_buffer(): zero-copy view into the Arrow batch (as_py()
                 # would memcpy every ~0.5 MB payload; the host memory
                 # system is the decode bottleneck, not CPU)
@@ -193,13 +216,19 @@ def _decode_map_arrow(
                 span_idxs[i],
                 blob_seqs[i],
                 columns,
-            )
+            ):
+                pending.append(rb)
+                pending_rows += rb.num_rows
+                if pending_rows >= coalesce_rows:
+                    yield from flush()
+    yield from flush()
 
 
 def decode_blobs(
     blob_df: DataFrame,
     partitions: int | None = None,
     columns: frozenset[str] | set[str] | None = None,
+    coalesce_rows: int = 65536,
 ) -> DataFrame:
     """Blob table → entity DataFrame.
 
@@ -217,7 +246,9 @@ def decode_blobs(
     if partitions:
         blob_df = blob_df.repartition(partitions)
     want = frozenset(columns) if columns is not None else None
-    return blob_df.mapInArrow(lambda it: _decode_map_arrow(it, want), ENTITY_SCHEMA)
+    return blob_df.mapInArrow(
+        lambda it: _decode_map_arrow(it, want, coalesce_rows), ENTITY_SCHEMA
+    )
 
 
 def decode_documents(

@@ -54,16 +54,28 @@ def minhash_signature(
     n_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, mh_0..mh_{n-1}) portable min-hashes: min over shingles of
-    md5(shingle || '#' || hash_index). String-min over hex digests is a
-    valid uniform min-hash and is reproducible in any SQL engine."""
+    """(id, mh_0..mh_{n-1}) portable min-hashes. String-min over hex is a
+    valid uniform min-hash and reproducible in any SQL engine; each md5
+    digest of (shingle || '#' || i) yields TWO 64-bit hashes — its first
+    and last 16 hex chars — so n_hashes costs only ceil(n/2) md5 calls
+    per shingle (the md5 is the hot-path cost; the substring split is
+    free). mh_{2i} = min substr(md5(s#i), 1, 16), mh_{2i+1} = min
+    substr(md5(s#i), 17, 16)."""
     out = df.withColumn("_t", tokens_col(text_col)).withColumn(
         "_sh", shingles_col(text_col, shingle_n)
     )
-    cols = [
-        F.expr(f"array_min(transform(_sh, s -> md5(concat(s, '#', '{i}'))))").alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
+    for i in range((n_hashes + 1) // 2):
+        out = out.withColumn(
+            f"_d{i}", F.expr(f"transform(_sh, s -> md5(concat(s, '#', '{i}')))")
+        )
+    cols = []
+    for k in range(n_hashes):
+        i, off = divmod(k, 2)
+        cols.append(
+            F.expr(
+                f"array_min(transform(_d{i}, d -> substring(d, {1 + 16 * off}, 16)))"
+            ).alias(f"mh_{k}")
+        )
     return out.select(F.col(id_col), *cols)
 
 
@@ -139,28 +151,37 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     bits 31..0) so the int conversion never exceeds signed-64 range under
     ANSI mode — and so the IDENTICAL construction runs in any SQL engine
     (the DuckDB oracle uses CAST('0x'||substr(md5(t),...) AS BIGINT)).
-    Pure column expressions: explode → bit tests → sum votes → reassemble.
+
+    Aggregation is LANE-PACKED: instead of 64 conditional ±1 sums, each
+    token contributes 32 branch-free packed longs — bit j of lo in the
+    low 32-bit lane, bit j of hi in the high lane — plus one count(*).
+    vote_b > 0  ⇔  2·(set-bit count for b) > token count, so the result
+    is bit-identical to the ±1 formulation while the per-row aggregate
+    work drops ~2x and stays pure bit math (whole-stage codegen, no
+    branches). Lane sums stay < 2^31·2^32 for any doc below 2^31 distinct
+    tokens — no ANSI overflow, no silent lane carry.
     """
     toks = (
         df.select(F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("_tok"))
         .withColumn("_hi", F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long"))
         .withColumn("_lo", F.conv(F.substring(F.md5("_tok"), 9, 8), 16, 10).cast("long"))
     )
-    votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftrightunsigned(
-                        F.col("_hi") if bit >= 32 else F.col("_lo"), bit % 32
-                    ).bitwiseAND(F.lit(1))
-                    == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"_v{bit}")
-            for bit in range(64)
-        ]
-    )
+    packed = [
+        F.sum(
+            F.shiftrightunsigned("_lo", j).bitwiseAND(F.lit(1))
+            + F.shiftleft(F.shiftrightunsigned("_hi", j).bitwiseAND(F.lit(1)).cast("long"), 32)
+        ).alias(f"_p{j}")
+        for j in range(32)
+    ]
+    votes = toks.groupBy(id_col).agg(*packed, F.count("*").alias("_c"))
     sim = F.lit(0).cast("long")
     for bit in range(64):
-        sim = sim + F.when(F.col(f"_v{bit}") > 0, F.lit(1).cast("long") * (2**bit if bit < 63 else -(2**63))).otherwise(0)
+        if bit < 32:
+            s = F.col(f"_p{bit}").bitwiseAND(F.lit(0xFFFFFFFF))
+        else:
+            s = F.shiftrightunsigned(F.col(f"_p{bit - 32}"), 32)
+        sim = sim + F.when(
+            s * 2 > F.col("_c"),
+            F.lit(1).cast("long") * (2**bit if bit < 63 else -(2**63)),
+        ).otherwise(0)
     return votes.select(F.col(id_col), sim.alias("simhash"))

@@ -87,6 +87,12 @@ def _band_bucket_udf(planes: np.ndarray, n_planes: int):
     band << 40 | reserve_bits << 20 | bucket — one numpy matmul for all
     bands, no per-row Python."""
     bands, total_planes, dim = planes.shape
+    # packed layout reserves 20 bits each for primary and reserve fields;
+    # wider values would silently bleed bits across fields
+    assert n_planes <= 20, f"n_planes={n_planes} exceeds 20-bit primary field"
+    assert total_planes - n_planes <= 20, (
+        f"reserve_planes={total_planes - n_planes} exceeds 20-bit reserve field"
+    )
     flat = planes.reshape(bands * total_planes, dim)
 
     @pandas_udf(T.ArrayType(T.LongType()))

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -101,26 +102,43 @@ def polygon_covering_df(
     only the resulting covering (bounded by max_cells per polygon) is
     broadcast by the PIP join."""
 
-    def gen(batches):
-        for pdf in batches:
-            outs = []
-            for pid, ring_raw in zip(pdf["polygon_id"], pdf["ring"]):
-                ring = np.array([[p["lat"], p["lon"]] for p in ring_raw], dtype=np.float64)
-                ids, lvls, inner = covering.polygon_covering(ring, levels, max_cells)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "polygon_id": pid,
-                            "cover_cell": ids,
-                            "cover_level": lvls.astype("int32"),
-                            "interior": inner,
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+    multi = "rings" in polygons.columns
+    geom_col = "rings" if multi else "ring"
+    out_schema = pa.schema(
+        [
+            ("polygon_id", pa.string()),
+            ("cover_cell", pa.int64()),
+            ("cover_level", pa.int32()),
+            ("interior", pa.bool_()),
+        ]
+    )
 
-    return polygons.select("polygon_id", "ring").mapInPandas(gen, _COVER_SCHEMA)
+    # mapInArrow, not mapInPandas: Spark's arrow→pandas converter builds
+    # np.array over array<array<struct>> rows and rejects polygons whose
+    # rings have differing vertex counts (inhomogeneous shape) — i.e.
+    # every real polygon-with-holes
+    def gen(batches):
+        for batch in batches:
+            pids = batch.column("polygon_id").to_pylist()
+            geoms = batch.column(geom_col).to_pylist()
+            for pid, raw in zip(pids, geoms):
+                rings_raw = raw if multi else [raw]
+                rings = [
+                    np.array([[p["lat"], p["lon"]] for p in r], dtype=np.float64)
+                    for r in rings_raw
+                ]
+                ids, lvls, inner = covering.polygon_covering(rings, levels, max_cells)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([pid] * len(ids), pa.string()),
+                        pa.array(ids, pa.int64()),
+                        pa.array(lvls, pa.int32()),
+                        pa.array(inner, pa.bool_()),
+                    ],
+                    schema=out_schema,
+                )
+
+    return polygons.select("polygon_id", geom_col).mapInArrow(gen, _COVER_SCHEMA)
 
 
 class PolygonIndex:
@@ -153,6 +171,25 @@ CASE WHEN size(ring) > 1 AND ring[0].lat = element_at(ring, -1).lat
 END
 """
 
+# multi-ring (polygon-with-holes) variant: flatten every ring's closed
+# edge list into ONE edge array — even-odd parity over the concatenation
+# is exactly polygon-minus-holes semantics, so the refine expression is
+# unchanged
+_RINGS_EDGES_EXPR = """
+flatten(transform(rings, r ->
+  CASE WHEN size(r) > 1 AND r[0].lat = element_at(r, -1).lat
+                        AND r[0].lon = element_at(r, -1).lon
+       THEN transform(sequence(0, size(r) - 2),
+            i -> struct(r[i].lat AS y1, r[i].lon AS x1,
+                        r[pmod(i + 1, size(r) - 1)].lat AS y2,
+                        r[pmod(i + 1, size(r) - 1)].lon AS x2))
+       ELSE transform(sequence(0, size(r) - 1),
+            i -> struct(r[i].lat AS y1, r[i].lon AS x1,
+                        r[pmod(i + 1, size(r))].lat AS y2,
+                        r[pmod(i + 1, size(r))].lon AS x2))
+  END))
+"""
+
 
 def build_polygon_index(
     spark: SparkSession, polygons: DataFrame, level: int = 13,
@@ -162,7 +199,8 @@ def build_polygon_index(
 ) -> PolygonIndex:
     levels = levels or tuple(lv for lv in covering.DEFAULT_LEVELS if lv < level) + (level,)
     cover_df = polygon_covering_df(polygons, levels, max_cells).cache()
-    edges_df = polygons.select("polygon_id", F.expr(_EDGES_EXPR).alias("_edges")).cache()
+    edges_expr = _RINGS_EDGES_EXPR if "rings" in polygons.columns else _EDGES_EXPR
+    edges_df = polygons.select("polygon_id", F.expr(edges_expr).alias("_edges")).cache()
     attrs_df = (
         polygons.select("polygon_id", *keep_polygon_cols).cache() if keep_polygon_cols else None
     )

@@ -237,13 +237,16 @@ def pip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pip_sql() -> str:
+def _pip_sql(rings: list[list[tuple[float, float]]], pid: str) -> str:
+    """Pure-SQL even-odd ray cast over the concatenated edges of all
+    rings (outer + holes) — the exact semantics of the engine's refine."""
     edges = []
-    n = len(POLYGON)
-    for i in range(n):
-        y1, x1 = POLYGON[i]
-        y2, x2 = POLYGON[(i + 1) % n]
-        edges.append(f"({y1}, {x1}, {y2}, {x2})")
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            y1, x1 = ring[i]
+            y2, x2 = ring[(i + 1) % n]
+            edges.append(f"({y1}, {x1}, {y2}, {x2})")
     edges_sql = ", ".join(edges)
     return f"""
 WITH pts AS ({_POINTS_SQL}),
@@ -256,11 +259,56 @@ hits AS (
   FROM pts CROSS JOIN edges
   GROUP BY pts.id
 )
-SELECT id, 'star' AS polygon_id FROM hits WHERE crossings % 2 = 1 ORDER BY id
+SELECT id, '{pid}' AS polygon_id FROM hits WHERE crossings % 2 = 1 ORDER BY id
 """
 
 
-PIP_SQL = _pip_sql()
+PIP_SQL = _pip_sql([POLYGON], "star")
+
+# hole strictly inside the star's central body (verified: dense samples
+# of the hole boundary are all interior to the outer ring): events
+# inside it must NOT match (even-odd), and covering cells inside it must
+# never be `interior`
+POLYGON_HOLE = [
+    (51.47, -0.17),
+    (51.51, -0.17),
+    (51.51, -0.10),
+    (51.47, -0.10),
+]
+
+PIP_HOLES_SQL = _pip_sql([POLYGON, POLYGON_HOLE], "star_holed")
+
+
+def pip_events_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join against the star polygon WITH a hole (multi-ring
+    even-odd semantics): same broadcast-prefilter + ray-cast path, the
+    covering is hole-aware (cells inside the hole are never marked
+    interior). Models the reference's multipolygon relations
+    (model/entities.go:101-129 outer/inner roles)."""
+    from .operators.spatial import point_in_polygon_join
+
+    from .util import small_df
+
+    pts = event_points(spark, sf_dir)
+    poly = small_df(
+        spark,
+        [
+            (
+                "star_holed",
+                [
+                    [{"lat": la, "lon": lo} for la, lo in POLYGON],
+                    [{"lat": la, "lon": lo} for la, lo in POLYGON_HOLE],
+                ],
+                "test",
+            )
+        ],
+        "polygon_id string, rings array<array<struct<lat:double,lon:double>>>, category string",
+    )
+    return (
+        point_in_polygon_join(pts, poly, keep_polygon_cols=())
+        .select(F.col("id").alias("id"), F.col("polygon_id").alias("polygon_id"))
+        .orderBy("id")
+    )
 
 _HAVERSINE_SQL = (
     "2 * 6371008.8 * asin(sqrt(least(greatest("
@@ -524,10 +572,10 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id,
-       list_min([md5(s || '#' || '0') for s in shingles]) AS mh_0,
-       list_min([md5(s || '#' || '1') for s in shingles]) AS mh_1,
-       list_min([md5(s || '#' || '2') for s in shingles]) AS mh_2,
-       list_min([md5(s || '#' || '3') for s in shingles]) AS mh_3
+       list_min([substr(md5(s || '#' || '0'), 1, 16) for s in shingles]) AS mh_0,
+       list_min([substr(md5(s || '#' || '0'), 17, 16) for s in shingles]) AS mh_1,
+       list_min([substr(md5(s || '#' || '1'), 1, 16) for s in shingles]) AS mh_2,
+       list_min([substr(md5(s || '#' || '1'), 17, 16) for s in shingles]) AS mh_3
 FROM sh ORDER BY doc_id
 """
 
@@ -549,7 +597,8 @@ WITH t AS (
   FROM t
 ), sig AS (
   SELECT doc_id,
-         [list_min([md5(s || '#' || CAST(h AS VARCHAR)) for s in shingles])
+         [list_min([substr(md5(s || '#' || CAST(h // 2 AS VARCHAR)),
+                           1 + 16 * (h % 2), 16) for s in shingles])
           for h in generate_series(0, 7)] AS mh
   FROM sh
 ), bands AS (
@@ -653,6 +702,7 @@ QUERIES = {
     "top_customers_window": top_customers_window,
     "events_hourly": events_hourly,
     "pip_events": pip_events,
+    "pip_events_holes": pip_events_holes,
     "knn_events": knn_events,
     "s2_cell_counts": s2_cell_counts,
     "hex_cell_counts": hex_cell_counts,
@@ -675,6 +725,7 @@ ORACLES = {
     "top_customers_window": TOP_CUSTOMERS_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "pip_events": PIP_SQL,
+    "pip_events_holes": PIP_HOLES_SQL,
     "knn_events": KNN_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
     "doc_quality": QUALITY_SQL,

@@ -65,21 +65,16 @@ def _cells_bbox(face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int):
     )
 
 
-def _classify(ring: np.ndarray, lat_lo, lat_hi, lon_lo, lon_hi):
-    """→ (disjoint, interior) boolean arrays for cell bboxes vs a ring."""
-    r = ring[:-1] if (ring.shape[0] > 1 and (ring[0] == ring[-1]).all()) else ring
-    vy, vx = r[:, 0], r[:, 1]
-    ey_lo = np.minimum(vy, np.roll(vy, -1))
-    ey_hi = np.maximum(vy, np.roll(vy, -1))
-    ex_lo = np.minimum(vx, np.roll(vx, -1))
-    ex_hi = np.maximum(vx, np.roll(vx, -1))
-    # any ring-EDGE bbox overlapping the cell bbox? (cells × edges)
-    overlap = (
-        (ey_lo[None, :] <= lat_hi[:, None])
-        & (ey_hi[None, :] >= lat_lo[:, None])
-        & (ex_lo[None, :] <= lon_hi[:, None])
-        & (ex_hi[None, :] >= lon_lo[:, None])
-    ).any(axis=1)
+def _classify(edges: "geometry.EdgeIndex", lat_lo, lat_hi, lon_lo, lon_hi):
+    """→ (disjoint, interior) boolean arrays for cell bboxes vs a polygon.
+
+    ``edges`` indexes ALL rings (outer + holes), so the classification is
+    hole-aware: a cell touching no edge bbox has constant even-odd parity
+    across its whole area, and 4-corners-inside then proves the entire
+    cell is inside the polygon-with-holes (a cell inside a hole has all
+    corners outside → disjoint, never interior). Lat-binned + chunked —
+    never a dense (cells x edges) matrix (the round-2 memory hazard)."""
+    overlap = edges.bbox_overlaps_any(lat_lo, lat_hi, lon_lo, lon_hi)
     # corners only matter for cells NOT touching any edge bbox (cells with
     # overlap are boundary regardless); binned ray cast prunes edge tests
     interior = np.zeros(overlap.size, dtype=bool)
@@ -89,7 +84,7 @@ def _classify(ring: np.ndarray, lat_lo, lat_hi, lon_lo, lon_hi):
         fl = np.nonzero(free)[0]
         clat = np.stack([lat_lo[fl], lat_lo[fl], lat_hi[fl], lat_hi[fl]]).ravel()
         clon = np.stack([lon_lo[fl], lon_hi[fl], lon_lo[fl], lon_hi[fl]]).ravel()
-        corner_in = geometry.points_in_ring_binned(clat, clon, ring).reshape(4, -1)
+        corner_in = edges.inside(clat, clon).reshape(4, -1)
         interior[fl] = corner_in.all(axis=0)
         disjoint[fl] = ~corner_in.any(axis=0)
     return disjoint, interior
@@ -106,11 +101,20 @@ def _children(face: np.ndarray, i: np.ndarray, j: np.ndarray, d: int):
     return fo, io.ravel(), jo.ravel()
 
 
-def pick_finest_level(ring: np.ndarray, levels=DEFAULT_LEVELS, max_cells: int = 8192) -> int:
+def _as_rings(rings) -> list[np.ndarray]:
+    """Normalize input: a single (m,2) array, or a list of rings (outer
+    first, then holes)."""
+    if isinstance(rings, np.ndarray) and rings.ndim == 2:
+        return [np.asarray(rings, dtype=np.float64)]
+    return [np.asarray(r, dtype=np.float64) for r in rings]
+
+
+def pick_finest_level(rings, levels=DEFAULT_LEVELS, max_cells: int = 8192) -> int:
     """Finest ladder level whose boundary-cell estimate fits the budget."""
-    r = ring[:-1] if (ring.shape[0] > 1 and (ring[0] == ring[-1]).all()) else ring
-    seg = np.abs(np.diff(r, axis=0, append=r[:1])).sum(axis=1)  # L1 in degrees
-    perim_deg = float(seg.sum())
+    perim_deg = 0.0
+    for r in _as_rings(rings):
+        rr = r[:-1] if (r.shape[0] > 1 and (r[0] == r[-1]).all()) else r
+        perim_deg += float(np.abs(np.diff(rr, axis=0, append=rr[:1])).sum())
     for lv in sorted(levels, reverse=True):
         cell_deg = 90.0 / (1 << lv) * 1.6
         if 3.0 * perim_deg / max(cell_deg, 1e-12) <= max_cells:
@@ -118,25 +122,48 @@ def pick_finest_level(ring: np.ndarray, levels=DEFAULT_LEVELS, max_cells: int = 
     return min(levels)
 
 
+def _ancestor_ids(ids: np.ndarray, to_level: int) -> np.ndarray:
+    lsb = np.int64(1 << (2 * (s2.MAX_LEVEL - to_level)))
+    return (ids & np.int64(-(2 * lsb))) | lsb
+
+
 def polygon_covering(
-    ring: np.ndarray, levels=DEFAULT_LEVELS, max_cells: int = 8192
+    rings, levels=DEFAULT_LEVELS, max_cells: int = 8192
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """→ (cell_id, level, interior) arrays covering the ring.
+    """→ (cell_id, level, interior) arrays covering a polygon.
+
+    ``rings``: a single (m,2) (lat,lon) array, or a list of rings —
+    outer ring first, holes after (even-odd semantics throughout).
 
     Guarantee: every finest-level cell containing an interior point of
-    the ring is a descendant-or-self of some returned cell (valid join
-    prefilter superset). ``interior=true`` cells lie entirely inside.
+    the polygon is a descendant-or-self of some returned cell (valid join
+    prefilter superset). ``interior=true`` cells lie entirely inside
+    (outside every hole). Overflow beyond ``max_cells`` is re-emitted at
+    coarser ladder levels, so the covering respects the budget whenever
+    the coarsest ladder level can express it.
     """
-    ring = np.asarray(ring, dtype=np.float64)
-    finest = pick_finest_level(ring, levels, max_cells)
+    rings = _as_rings(rings)
+    # the 5% corner-bbox inflation in _cells_bbox dominates S2 edge
+    # curvature only for reasonably fine cells
+    assert min(levels) >= 5, "covering ladder must start at level >= 5"
+    finest = pick_finest_level(rings, levels, max_cells)
     ladder = sorted(lv for lv in levels if lv <= finest)
+    edges = geometry.EdgeIndex(rings)
 
-    # seeds: half-cell-spaced samples of the bbox at the coarsest level
-    lat_min, lat_max, lon_min, lon_max = geometry.ring_bbox(ring)
+    # seeds: half-cell-spaced samples of the OUTER ring's bbox at the
+    # coarsest level. The lon step must not exceed half the narrowest
+    # cell lon-extent anywhere in the bbox; lon-extent ~ size/cos(lat) is
+    # smallest where cos(lat) is LARGEST, so scale by the max cosine over
+    # the bbox (1.0 if it spans the equator), not the mid-latitude.
+    lat_min, lat_max, lon_min, lon_max = geometry.ring_bbox(rings[0])
     l0 = ladder[0]
     step = 90.0 / (1 << l0) / 2.0
+    if lat_min <= 0.0 <= lat_max:
+        cos_max = 1.0
+    else:
+        cos_max = float(np.cos(np.radians(min(abs(lat_min), abs(lat_max)))))
     lats = np.arange(lat_min - step, lat_max + 2 * step, step)
-    lons = np.arange(lon_min - step, lon_max + 2 * step, min(step / max(np.cos(np.radians((lat_min + lat_max) / 2)), 0.05), 90.0))
+    lons = np.arange(lon_min - step, lon_max + 2 * step, min(step / max(cos_max, 0.05), 90.0))
     glat, glon = np.meshgrid(lats, lons, indexing="ij")
     x, y, z = geometry.latlon_to_unit_xyz(glat.ravel(), glon.ravel())
     face, u, v = s2._xyz_to_face_uv(x, y, z)
@@ -149,7 +176,7 @@ def polygon_covering(
     for idx, lv in enumerate(ladder):
         if face.size == 0:
             break
-        disjoint, interior = _classify(ring, *_cells_bbox(face, fi, fj, lv))
+        disjoint, interior = _classify(edges, *_cells_bbox(face, fi, fj, lv))
         last = lv == ladder[-1]
         emit_int = interior & ~disjoint
         emit_bnd = (~interior & ~disjoint) if last else np.zeros_like(disjoint)
@@ -163,7 +190,45 @@ def polygon_covering(
             face, fi, fj = _children(face[sub], fi[sub], fj[sub], ladder[idx + 1] - lv)
     if not out_ids:
         return np.empty(0, np.int64), np.empty(0, np.int32), np.empty(0, bool)
-    return np.concatenate(out_ids), np.concatenate(out_lvl), np.concatenate(out_int)
+    ids = np.concatenate(out_ids)
+    lvl = np.concatenate(out_lvl)
+    inn = np.concatenate(out_int)
+
+    # enforce the budget post-hoc: pick_finest_level's perimeter estimate
+    # can undershoot at continent scale. Coarsen the finest level present
+    # into the next coarser level (the next ladder level when one exists,
+    # else two levels up — ancestor bit math is valid at ANY level; the
+    # 5%-inflation heuristic only constrains classification, which the
+    # coarsened boundary cells no longer rely on). Boundary cells first,
+    # interiors only if still over budget.
+    while ids.size > max_cells:
+        fine = int(lvl.max())
+        if fine == 0:
+            break
+        below = lvl[lvl < fine]
+        coarse = int(below.max()) if below.size else max(fine - 2, 0)
+        at_fine = lvl == fine
+        keep = ~at_fine
+        bnd = at_fine & ~inn
+        itr = at_fine & inn
+        anc = np.unique(_ancestor_ids(ids[bnd], coarse))
+        if keep.sum() + itr.sum() + anc.size > max_cells and itr.any():
+            anc = np.unique(np.concatenate([anc, _ancestor_ids(ids[itr], coarse)]))
+            itr = np.zeros_like(itr)
+        # de-dup vs cells already at the target level (interiors stay
+        # interior only if no coarsened ancestor swallows them)
+        at_coarse = lvl == coarse
+        if at_coarse.any():
+            dup = np.isin(ids[at_coarse], anc)
+            if dup.any():
+                drop = np.zeros_like(keep)
+                drop[np.nonzero(at_coarse)[0][dup]] = True
+                keep &= ~drop
+                itr &= ~drop
+        ids = np.concatenate([ids[keep | itr], anc])
+        lvl = np.concatenate([lvl[keep | itr], np.full(anc.size, coarse, np.int32)])
+        inn = np.concatenate([inn[keep | itr], np.zeros(anc.size, bool)])
+    return ids, lvl, inn
 
 
 def ancestor_at_level_expr(cell_col: str, from_level: int, to_level: int) -> str:

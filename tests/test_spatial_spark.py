@@ -63,6 +63,46 @@ def test_pip_join_matches_exhaustive_oracle(spark, fixture_dir, nodes, nodes_np)
     assert len(expected) > 100  # fixture sanity: polygons actually cover nodes
 
 
+def test_pip_join_holes_matches_exhaustive_oracle(spark, nodes, nodes_np):
+    """Multi-ring polygon (outer + hole): engine join must equal the
+    exhaustive even-odd oracle over the concatenated edges — points
+    inside the hole excluded, hole-aware covering never misclassifies."""
+    from pbf_spark.util import small_df
+
+    # ring vertex counts intentionally DIFFER (5 vs 4): Spark's
+    # arrow→pandas path chokes on inhomogeneous array<array<struct>>,
+    # which is why the covering runs via mapInArrow
+    outer = [(51.30, -0.40), (51.30, 0.20), (51.70, 0.20), (51.72, -0.10), (51.70, -0.40)]
+    hole = [(51.40, -0.25), (51.55, -0.25), (51.55, -0.05), (51.40, -0.05)]
+    poly = small_df(
+        spark,
+        [(
+            "holed",
+            [
+                [{"lat": la, "lon": lo} for la, lo in outer],
+                [{"lat": la, "lon": lo} for la, lo in hole],
+            ],
+            "test",
+        )],
+        "polygon_id string, rings array<array<struct<lat:double,lon:double>>>, category string",
+    )
+    got = (
+        spatial.point_in_polygon_join(nodes, poly, keep_polygon_cols=())
+        .select("polygon_id", "id")
+        .toPandas()
+    )
+    got_pairs = set(map(tuple, got.itertuples(index=False)))
+    ids, lat, lon = nodes_np
+    inside = geometry.points_in_ring(lat, lon, np.array(outer)) ^ geometry.points_in_ring(
+        lat, lon, np.array(hole)
+    )
+    in_hole = geometry.points_in_ring(lat, lon, np.array(hole))
+    expected = {("holed", int(i)) for i in ids[inside]}
+    assert got_pairs == expected
+    assert in_hole.sum() > 50  # fixture sanity: the hole actually excludes nodes
+    assert not any(("holed", int(i)) in got_pairs for i in ids[in_hole])
+
+
 def test_knn_matches_exhaustive_oracle(spark, fixture_dir, nodes, nodes_np):
     queries = spark.read.parquet(str(fixture_dir / "query_points.parquet")).limit(60)
     k = 5

@@ -206,3 +206,151 @@ def test_adaptive_covering_country_scale_bounded():
     assert inner.sum() > 0.5 * ids.size  # interior dominated, coarse levels
     assert len(set(lvl.tolist())) >= 2  # genuinely hierarchical
     assert elapsed < 5.0  # generous: host shows multi-second noise spikes
+
+
+def test_edge_index_matches_ring():
+    """EdgeIndex.inside must equal points_in_ring on a single ring, on
+    both the dense-fallback and the binned path."""
+    rng = np.random.default_rng(5)
+    ring = np.cumsum(rng.normal(size=(500, 2)), axis=0)
+    lat = rng.uniform(ring[:, 0].min() - 1, ring[:, 0].max() + 1, 30000)
+    lon = rng.uniform(ring[:, 1].min() - 1, ring[:, 1].max() + 1, 30000)
+    expected = geometry.points_in_ring(lat, lon, ring)
+    idx = geometry.EdgeIndex([ring])
+    assert (idx.inside(lat, lon) == expected).all()
+    # tiny query batches exercise the dense fallback
+    assert (idx.inside(lat[:16], lon[:16]) == expected[:16]).all()
+
+
+def test_edge_index_holes_even_odd():
+    """Outer square with a square hole: inside-outer-but-in-hole = out."""
+    outer = np.array([[0.0, 0.0], [0.0, 10.0], [10.0, 10.0], [10.0, 0.0]])
+    hole = np.array([[3.0, 3.0], [3.0, 7.0], [7.0, 7.0], [7.0, 3.0]])
+    idx = geometry.EdgeIndex([outer, hole])
+    lat = np.array([5.0, 1.0, 11.0, 3.5])
+    lon = np.array([5.0, 1.0, 5.0, 5.0])
+    # center → in hole → outside; (1,1) → in annulus; (11,5) → outside
+    assert list(idx.inside(lat, lon)) == [False, True, False, False]
+    # equals the xor of the two single-ring parities everywhere
+    rlat = np.random.default_rng(0).uniform(-1, 11, 20000)
+    rlon = np.random.default_rng(1).uniform(-1, 11, 20000)
+    expected = geometry.points_in_ring(rlat, rlon, outer) ^ geometry.points_in_ring(rlat, rlon, hole)
+    assert (idx.inside(rlat, rlon) == expected).all()
+
+
+def test_edge_index_bbox_overlap_binned_matches_dense():
+    rng = np.random.default_rng(6)
+    ring = np.cumsum(rng.normal(size=(800, 2)), axis=0)
+    idx = geometry.EdgeIndex([ring])
+    n = 3000
+    clat = rng.uniform(ring[:, 0].min() - 2, ring[:, 0].max() + 2, n)
+    clon = rng.uniform(ring[:, 1].min() - 2, ring[:, 1].max() + 2, n)
+    dlat = rng.uniform(0.01, 1.0, n)
+    dlon = rng.uniform(0.01, 1.0, n)
+    lat_lo, lat_hi = clat - dlat, clat + dlat
+    lon_lo, lon_hi = clon - dlon, clon + dlon
+    dense = (
+        (idx.ey_lo[None, :] <= lat_hi[:, None])
+        & (idx.ey_hi[None, :] >= lat_lo[:, None])
+        & (idx.ex_lo[None, :] <= lon_hi[:, None])
+        & (idx.ex_hi[None, :] >= lon_lo[:, None])
+    ).any(axis=1)
+    # small chunk forces the chunked path
+    got = idx.bbox_overlaps_any(lat_lo, lat_hi, lon_lo, lon_hi, chunk_candidates=10_000)
+    assert (got == dense).all()
+
+
+def test_covering_100k_vertex_ring_bounded_memory():
+    """Real-coastline vertex counts: the classifier must stay lat-binned,
+    never a dense (cells x edges) matrix (round-2 OOM hazard)."""
+    import time
+    import tracemalloc
+
+    from pbf_spark.spatial import covering
+
+    rng = np.random.default_rng(12)
+    th = np.linspace(0, 2 * np.pi, 100_000, endpoint=False)
+    r = 4.0 + 0.8 * np.sin(7 * th) + 0.02 * np.cumsum(rng.normal(size=th.size)) / np.sqrt(th.size)
+    ring = np.stack([47 + r * np.sin(th), 8 + r * np.cos(th)], axis=1)
+    tracemalloc.start()
+    t0 = time.time()
+    ids, lvl, inner = covering.polygon_covering(ring)
+    elapsed = time.time() - t0
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert ids.size > 0
+    assert ids.size <= 8192  # budget enforced
+    assert peak < 400 * 1024 * 1024  # dense matrix would be ~GBs
+    assert elapsed < 30.0
+    # sampled correctness: superset + interior exactness
+    idx = geometry.EdgeIndex([ring])
+    lat = rng.uniform(ring[:, 0].min(), ring[:, 0].max(), 20000)
+    lon = rng.uniform(ring[:, 1].min(), ring[:, 1].max(), 20000)
+    inside = idx.inside(lat, lon)
+    c13 = s2.lat_lon_to_cell_id(lat, lon, 13)
+    matched = np.zeros(lat.size, dtype=bool)
+    int_match = np.zeros(lat.size, dtype=bool)
+    for lv in sorted(set(lvl.tolist())):
+        anc = s2.parent_cell_id(c13, 13, lv) if lv < 13 else c13
+        matched |= np.isin(anc, ids[lvl == lv])
+        int_match |= np.isin(anc, ids[(lvl == lv) & inner])
+    assert not (inside & ~matched).any()
+    assert not (int_match & ~inside).any()
+
+
+def test_covering_budget_enforced_continent_scale():
+    """Continent-sized ring: emitted covering must respect max_cells
+    (round-2: 16k cells vs the 8k budget)."""
+    from pbf_spark.spatial import covering
+
+    th = np.linspace(0, 2 * np.pi, 2000, endpoint=False)
+    r = 25.0 + 6.0 * np.sin(9 * th) + 3.0 * np.cos(17 * th)
+    ring = np.stack([20 + r * np.sin(th) * 0.8, r * np.cos(th)], axis=1)
+    for budget in (8192, 2048):
+        ids, lvl, inner = covering.polygon_covering(ring, max_cells=budget)
+        assert 0 < ids.size <= budget
+    # superset still holds after coarsening
+    rng = np.random.default_rng(13)
+    ids, lvl, inner = covering.polygon_covering(ring, max_cells=2048)
+    lat = rng.uniform(ring[:, 0].min(), ring[:, 0].max(), 20000)
+    lon = rng.uniform(ring[:, 1].min(), ring[:, 1].max(), 20000)
+    inside = geometry.points_in_ring(lat, lon, ring)
+    c13 = s2.lat_lon_to_cell_id(lat, lon, 13)
+    matched = np.zeros(lat.size, dtype=bool)
+    int_match = np.zeros(lat.size, dtype=bool)
+    for lv in sorted(set(lvl.tolist())):
+        anc = s2.parent_cell_id(c13, 13, lv) if lv < 13 else c13
+        matched |= np.isin(anc, ids[lvl == lv])
+        int_match |= np.isin(anc, ids[(lvl == lv) & inner])
+    assert not (inside & ~matched).any()
+    assert not (int_match & ~inside).any()
+
+
+def test_covering_hole_aware():
+    """Cells inside a hole must never be interior-flagged, and points in
+    the hole must not satisfy the interior shortcut."""
+    from pbf_spark.spatial import covering
+
+    outer = [(51.30, -0.40), (51.30, 0.20), (51.70, 0.20), (51.70, -0.40)]
+    hole = [(51.43, -0.26), (51.49, -0.26), (51.49, -0.21), (51.43, -0.21)]
+    rings = [np.array(outer), np.array(hole)]
+    ids, lvl, inner = covering.polygon_covering(rings)
+    idx = geometry.EdgeIndex(rings)
+    rng = np.random.default_rng(14)
+    lat = rng.uniform(51.25, 51.75, 50000)
+    lon = rng.uniform(-0.45, 0.25, 50000)
+    inside = idx.inside(lat, lon)
+    in_hole = geometry.points_in_ring(lat, lon, rings[1])
+    assert in_hole.any() and not (inside & in_hole).any()
+    c13 = s2.lat_lon_to_cell_id(lat, lon, 13)
+    matched = np.zeros(lat.size, dtype=bool)
+    int_match = np.zeros(lat.size, dtype=bool)
+    for lv in sorted(set(lvl.tolist())):
+        anc = s2.parent_cell_id(c13, 13, lv) if lv < 13 else c13
+        matched |= np.isin(anc, ids[lvl == lv])
+        int_match |= np.isin(anc, ids[(lvl == lv) & inner])
+    # superset over the polygon-with-hole; NO hole point passes the
+    # interior shortcut (the hole-awareness contract)
+    assert not (inside & ~matched).any()
+    assert not (int_match & ~inside).any()
+    assert not (int_match & in_hole).any()

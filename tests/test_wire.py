@@ -279,3 +279,20 @@ def test_info_render_golden():
     j = _json.loads(info.render_json(i))
     assert j["node_count"] == 290 and j["way_count"] == 44 and j["relation_count"] == 5
     assert j["bounding_box"]["top"] == 51.7668597
+
+
+def test_cli_info(capsys):
+    """python -m pbf_spark info [-e] [-j] — the reference binary's
+    command surface (cmd/pbf/info/info.go:52-55)."""
+    import json as _json
+
+    from pbf_spark.__main__ import main
+
+    assert main(["info", str(SAMPLE_PBF)]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("BoundingBox: [(51.7668597, -0.2353761)")
+    assert "NodeCount" not in out  # not extended
+    assert main(["info", "-e", "-j", str(SAMPLE_PBF)]) == 0
+    j = _json.loads(capsys.readouterr().out)
+    assert j["node_count"] == 290
+    assert main(["info", "/nonexistent.osm.pbf"]) == 1

@@ -29,12 +29,41 @@ x{w["replicate"]} fixture = {w["entities_per_run"]:,} entities /
 """
 
 
+def _memcpy_table() -> str:
+    rows = []
+    for name in ("memcpy_control_c2.json", "memcpy_control_c4.json", "memcpy_control_c8.json"):
+        p = REPO / "bench_out" / name
+        if not p.exists():
+            continue
+        d = json.loads(p.read_text())
+        lo, hi = sorted(int(k) for k in d["levels_gbps"])
+        rows.append(
+            f"| {d['cores_per_worker']}-core groups | {d['levels_gbps'][str(lo)]} GB/s "
+            f"| {d['levels_gbps'][str(hi)]} GB/s | {d['efficiency']} |"
+        )
+    if not rows:
+        return ""
+    return (
+        """**Control — pure numpy memcpy at the same cpuset geometry** (zero
+engine code; tools/memcpy_control.py; raw: memcpy_control_c{2,4,8}.json):
+
+| geometry | 1 group (agg) | 4 groups (agg) | efficiency |
+|---|---|---|---|
+"""
+        + "\n".join(rows)
+        + "\n"
+    )
+
+
 def _multi_section() -> str:
     tables = []
-    for name in ("scaling_multi_c2.json", "scaling_multi.json"):
+    # ALL measured configs, favorable or not (audit contract): 2-, 4-,
+    # and 8-core executors
+    for name in ("scaling_multi_c2.json", "scaling_multi_c4.json", "scaling_multi.json"):
         p = REPO / "bench_out" / name
         if p.exists():
             tables.append(_one_table(p))
+    tables.append(_memcpy_table())
     return f"""### Measured (this round) — executor-process protocol
 
 **Protocol**: K CONCURRENT isolated `spark-submit --py-files` JVMs, each
@@ -49,18 +78,25 @@ page-fault bandwidth measured collapsing ~100x for seconds at a time) —
 a window overlapping an episode measures the host, not the engine.
 
 {chr(10).join(tables)}
-**Reading the two sizes**: at 2-core executors (8/32 host cpus at 4N —
-per-executor DRAM share comparable to a real cluster node) BOTH phases
-scale at ≥0.8 with flat CPU-per-unit — the north-rule gate. At 8-core
-executors 4N saturates the single host's DRAM: decode (whose Arrow
-shipping + inflate is memory-traffic-bound) degrades with CPU-per-unit
-inflating ~2x — stalled cycles, not extra work — while the compute-bound
-PIP join still clears 0.8. Control experiment: a pure numpy memcpy run
-at 1 vs 4 pinned processes on this host shows the same collapse, and
-first-touch fault bandwidth intermittently drops below 10 MB/s —
-host memory virtualization, not engine behavior. A 4N-executor cluster
-adds DRAM with every node; the 2-core table is the like-for-like
-measurement, the 8-core table the host ceiling.
+**Reading the configs** (every measured config is published — the gate
+must be audit-proof, not just green): at 2-core executors (8/32 host
+cpus busy at 4N — per-executor DRAM share comparable to a real cluster
+node) BOTH phases scale at ≥0.8 with flat CPU-per-unit — the north-rule
+gate. The single-host memory wall bites once the 4N size keeps ≳16 host
+cores busy: at 4-core executors (16/32 cpus at 4N) and 8-core executors
+(32/32 at 4N) efficiency collapses with CPU-seconds-per-unit inflating
+2-3x — stalled cycles, not extra engine work (the work per unit is
+identical by construction; only its wall/cpu cost moves). The memcpy
+control above — zero engine code, same cpuset geometry — collapses at
+the same points: the host's aggregate stream bandwidth saturates near
+~70-80 GB/s, which 8 concurrent lanes (2-core x 4N) stay under
+(efficiency ~0.94) but 16 and 32 lanes slam into (~0.52 / ~0.35) —
+isolating the cause to host DRAM bandwidth, not engine behavior
+(episodic first-touch fault bandwidth on this host additionally drops
+~100x for seconds). A real 4N-executor cluster adds DRAM with every
+node, so per-executor bandwidth stays constant — the 2-core column is
+the like-for-like stand-in for that; the 4/8-core columns chart the
+shared-host ceiling.
 """
 
 
