@@ -93,10 +93,18 @@ the same points: the host's aggregate stream bandwidth saturates near
 (efficiency ~0.94) but 16 and 32 lanes slam into (~0.52 / ~0.35) —
 isolating the cause to host DRAM bandwidth, not engine behavior
 (episodic first-touch fault bandwidth on this host additionally drops
-~100x for seconds). A real 4N-executor cluster adds DRAM with every
-node, so per-executor bandwidth stays constant — the 2-core column is
-the like-for-like stand-in for that; the 4/8-core columns chart the
-shared-host ceiling.
+~100x for seconds). One artifact to read carefully: the PIP efficiency
+column is NOT monotonic across configs (2-core 0.97, 4-core ~0.64,
+8-core ~0.86) because the ratio's K=1 baseline degrades too — at 8-core
+executors the 1-executor run already keeps 8 lanes busy, near the
+bandwidth knee, deflating the denominator; absolute aggregate
+throughput at 4N (0.99M → 1.6M → 3.0M PIP rows/s for 2/4/8-core) is
+monotonic as expected. Cross-config comparisons should use absolute
+aggregates; within-config ratios are only clean where the K=1 baseline
+is unsaturated — which is exactly the 2-core configuration. A real
+4N-executor cluster adds DRAM with every node, so per-executor
+bandwidth stays constant — the 2-core column is the like-for-like
+stand-in for that; the 4/8-core columns chart the shared-host ceiling.
 """
 
 
