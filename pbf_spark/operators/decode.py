@@ -34,10 +34,6 @@ _MEMBER_TYPE = ENTITY_ARROW_SCHEMA.field("members").type
 _INFO_TYPE = ENTITY_ARROW_SCHEMA.field("info").type
 
 
-def _strings_arrow(strings: np.ndarray) -> pa.Array:
-    return pa.array(strings, pa.string())
-
-
 def _take_str(strings_arr: pa.Array, ids: np.ndarray) -> pa.Array:
     """String-table gather in Arrow C++ (no per-entity Python objects)."""
     return pc.take(strings_arr, pa.array(ids, pa.int64()))
@@ -88,7 +84,7 @@ def _entity_batch(
     def want(col: str) -> bool:
         return columns is None or col in columns
 
-    strings_arr = _strings_arrow(block.strings)
+    strings_arr = block.strings_arrow  # already Arrow — no conversion
     nulls_f64 = pa.nulls(n, pa.float64())
     nulls_i64 = pa.nulls(n, pa.int64())
     if kind == "node":

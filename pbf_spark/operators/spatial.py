@@ -226,6 +226,14 @@ def point_in_polygon_join(
 
     ``polygons`` is either the polygon DataFrame (broadcast-scale
     dimension; index built on the fly) or a prebuilt PolygonIndex.
+
+    ``level`` is the PREFILTER cell level — results are identical at any
+    level ≥ the index's finest covering level; finer levels trade more
+    covering cells for fewer false-positive candidates (the right trade
+    for boundary-dominated city-scale polygons). If ``points`` already
+    carries an ``s2_cell`` column it MUST be at this level (the
+    ancestor bit-math asserts level ordering but cannot detect a
+    mismatched precomputed column).
     """
     spark: SparkSession = points.sparkSession
     if isinstance(polygons, PolygonIndex):

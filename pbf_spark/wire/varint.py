@@ -32,6 +32,10 @@ def decode_varints(buf: bytes | np.ndarray) -> np.ndarray:
     is_end = (b & 0x80) == 0
     if not is_end[-1]:
         raise ValueError("truncated varint run")
+    if is_end.all():
+        # all-single-byte run (common for delta-coded ids/refs): the
+        # boundary scan, gather, and segmented reduction all collapse
+        return b.astype(np.uint64)
     # group id for each byte = number of terminators strictly before it
     gid = np.empty(n, dtype=np.int64)
     gid[0] = 0
