@@ -52,9 +52,16 @@ def _cells_bbox(face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int):
         corner_lat[c], corner_lon[c] = geometry.unit_xyz_to_latlon(x / norm, y / norm, z / norm)
     lat_min, lat_max = corner_lat.min(axis=0), corner_lat.max(axis=0)
     lon_min, lon_max = corner_lon.min(axis=0), corner_lon.max(axis=0)
-    # inflation: 5% of the cell's angular extent dominates edge curvature
-    pad_lat = 0.05 * (lat_max - lat_min) + 1e-9
-    pad_lon = 0.05 * (lon_max - lon_min) + 1e-9
+    # inflation must dominate S2 edge curvature: a great-circle edge of
+    # angular extent theta deviates from its chord (the corner bbox) by a
+    # relative sagitta of ~theta/8, so derive the padding per level
+    # (1.5x safety) and floor it at 5% for fine cells. At the default
+    # ladder this evaluates to the 5% floor; coarse custom levels get
+    # proportionally more instead of silently too little.
+    theta = np.radians(90.0 / (1 << level) * 1.7)
+    frac = max(0.05, 1.5 * theta / 8.0)
+    pad_lat = frac * (lat_max - lat_min) + 1e-9
+    pad_lon = frac * (lon_max - lon_min) + 1e-9
     # cells straddling the antimeridian get a full-span (conservative) box
     wrap = (lon_max - lon_min) > 180.0
     return (
@@ -143,9 +150,10 @@ def polygon_covering(
     the coarsest ladder level can express it.
     """
     rings = _as_rings(rings)
-    # the 5% corner-bbox inflation in _cells_bbox dominates S2 edge
-    # curvature only for reasonably fine cells
-    assert min(levels) >= 5, "covering ladder must start at level >= 5"
+    # corner-bbox inflation is curvature-derived per level (_cells_bbox),
+    # so coarse ladders classify correctly too; level >= 3 keeps the
+    # lat/lon-box geometry away from pole/antimeridian pathologies
+    assert min(levels) >= 3, "covering ladder must start at level >= 3"
     finest = pick_finest_level(rings, levels, max_cells)
     ladder = sorted(lv for lv in levels if lv <= finest)
     edges = geometry.EdgeIndex(rings)

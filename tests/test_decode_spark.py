@@ -28,6 +28,23 @@ def test_golden_counts(entities, fixture_manifest):
     assert got == fixture_manifest["counts"]
 
 
+def test_decode_coalescing_row_identical(fixture_dir):
+    """Batch coalescing (~64k-row output batches) must be a pure
+    repackaging: same rows, same order, as per-blob batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pbf_spark.operators.decode import _decode_map_arrow
+
+    files = sorted((fixture_dir / "media_blobs" / "data").glob("*.parquet"))
+    t = pa.concat_tables([pq.read_table(p) for p in files])
+    batches = t.to_batches(max_chunksize=100)
+    per_blob = pa.Table.from_batches(list(_decode_map_arrow(iter(batches), coalesce_rows=1)))
+    coalesced = pa.Table.from_batches(list(_decode_map_arrow(iter(batches))))
+    assert coalesced.num_rows == per_blob.num_rows
+    assert coalesced.combine_chunks().equals(per_blob.combine_chunks())
+
+
 def test_sample_pbf_file_golden(spark):
     hdr = pbf_file.load_header(SAMPLE_PBF)
     assert hdr.bbox_degrees["top"] == pytest.approx(51.7668597, abs=1e-9)

@@ -208,6 +208,31 @@ def test_adaptive_covering_country_scale_bounded():
     assert elapsed < 5.0  # generous: host shows multi-second noise spikes
 
 
+def test_covering_coarse_ladder_curvature_padding():
+    """Coarse custom ladders (level 4 cells span ~6 deg, where edge
+    curvature would exceed a fixed 5% bbox pad) must still classify
+    correctly — the padding is curvature-derived per level."""
+    from pbf_spark.spatial import covering
+
+    rng = np.random.default_rng(21)
+    th = np.linspace(0, 2 * np.pi, 600, endpoint=False)
+    r = 18.0 + 4.0 * np.sin(6 * th)
+    ring = np.stack([10 + r * np.sin(th), -30 + r * np.cos(th)], axis=1)
+    ids, lvl, inner = covering.polygon_covering(ring, levels=(4, 7))
+    lat = rng.uniform(ring[:, 0].min(), ring[:, 0].max(), 20000)
+    lon = rng.uniform(ring[:, 1].min(), ring[:, 1].max(), 20000)
+    inside = geometry.points_in_ring(lat, lon, ring)
+    c13 = s2.lat_lon_to_cell_id(lat, lon, 13)
+    matched = np.zeros(lat.size, dtype=bool)
+    int_match = np.zeros(lat.size, dtype=bool)
+    for lv in sorted(set(lvl.tolist())):
+        anc = s2.parent_cell_id(c13, 13, lv)
+        matched |= np.isin(anc, ids[lvl == lv])
+        int_match |= np.isin(anc, ids[(lvl == lv) & inner])
+    assert not (inside & ~matched).any()  # superset holds
+    assert not (int_match & ~inside).any()  # interior shortcut exact
+
+
 def test_edge_index_matches_ring():
     """EdgeIndex.inside must equal points_in_ring on a single ring, on
     both the dense-fallback and the binned path."""
