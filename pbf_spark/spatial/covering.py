@@ -158,12 +158,14 @@ def polygon_covering(
     ladder = sorted(lv for lv in levels if lv <= finest)
     edges = geometry.EdgeIndex(rings)
 
-    # seeds: half-cell-spaced samples of the OUTER ring's bbox at the
-    # coarsest level. The lon step must not exceed half the narrowest
-    # cell lon-extent anywhere in the bbox; lon-extent ~ size/cos(lat) is
-    # smallest where cos(lat) is LARGEST, so scale by the max cosine over
-    # the bbox (1.0 if it spans the equator), not the mid-latitude.
-    lat_min, lat_max, lon_min, lon_max = geometry.ring_bbox(rings[0])
+    # seeds: half-cell-spaced samples of the bbox over ALL rings at the
+    # coarsest level (a multipolygon can carry several disjoint outer
+    # rings — the first ring's bbox alone would miss the others). The
+    # lon step must not exceed half the narrowest cell lon-extent
+    # anywhere in the bbox; lon-extent ~ size/cos(lat) is smallest where
+    # cos(lat) is LARGEST, so scale by the max cosine over the bbox (1.0
+    # if it spans the equator), not the mid-latitude.
+    lat_min, lat_max, lon_min, lon_max = geometry.ring_bbox(np.concatenate(rings))
     l0 = ladder[0]
     step = 90.0 / (1 << l0) / 2.0
     if lat_min <= 0.0 <= lat_max:

@@ -208,6 +208,37 @@ def test_adaptive_covering_country_scale_bounded():
     assert elapsed < 5.0  # generous: host shows multi-second noise spikes
 
 
+def test_covering_multipolygon_disjoint_outers():
+    """OSM multipolygons can have SEVERAL outer rings; even-odd over the
+    concatenated edges needs no role labels — two disjoint squares plus
+    a hole in the first must cover exactly their union-minus-hole."""
+    from pbf_spark.spatial import covering
+
+    a = np.array([[10.0, 10.0], [10.0, 14.0], [14.0, 14.0], [14.0, 10.0]])
+    b = np.array([[10.0, 20.0], [10.0, 25.0], [15.0, 25.0], [15.0, 20.0]])
+    hole = np.array([[11.0, 11.0], [11.0, 12.0], [12.0, 12.0], [12.0, 11.0]])
+    rings = [a, b, hole]
+    idx = geometry.EdgeIndex(rings)
+    lat = np.array([12.0, 11.5, 12.5, 12.0, 17.0])
+    lon = np.array([13.0, 11.5, 22.0, 17.0, 22.0])
+    # in A; in A's hole; in B; between A and B; north of B
+    assert list(idx.inside(lat, lon)) == [True, False, True, False, False]
+    ids, lvl, inner = covering.polygon_covering(rings)
+    rng = np.random.default_rng(22)
+    slat = rng.uniform(9, 16, 30000)
+    slon = rng.uniform(9, 26, 30000)
+    inside = idx.inside(slat, slon)
+    c13 = s2.lat_lon_to_cell_id(slat, slon, 13)
+    matched = np.zeros(slat.size, dtype=bool)
+    int_match = np.zeros(slat.size, dtype=bool)
+    for lv in sorted(set(lvl.tolist())):
+        anc = s2.parent_cell_id(c13, 13, lv) if lv < 13 else c13
+        matched |= np.isin(anc, ids[lvl == lv])
+        int_match |= np.isin(anc, ids[(lvl == lv) & inner])
+    assert not (inside & ~matched).any()
+    assert not (int_match & ~inside).any()
+
+
 def test_covering_coarse_ladder_curvature_padding():
     """Coarse custom ladders (level 4 cells span ~6 deg, where edge
     curvature would exceed a fixed 5% bbox pad) must still classify
