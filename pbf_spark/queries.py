@@ -278,6 +278,48 @@ POLYGON_HOLE = [
 
 PIP_HOLES_SQL = _pip_sql([POLYGON, POLYGON_HOLE], "star_holed")
 
+# full multipolygon shape: star + a second disjoint outer square in the
+# bbox's east + the hole — several outer rings need no role labels under
+# even-odd (reference relation model: model/entities.go:101-129)
+POLYGON_OUTER2 = [
+    (51.34, 0.20),
+    (51.34, 0.30),
+    (51.42, 0.30),
+    (51.42, 0.20),
+]
+
+PIP_MULTI_SQL = _pip_sql([POLYGON, POLYGON_OUTER2, POLYGON_HOLE], "star_multi")
+
+
+def pip_events_multipolygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join against a true multipolygon — two disjoint outer rings
+    plus a hole — through the same covering-prefilter + ray-cast path."""
+    from .operators.spatial import point_in_polygon_join
+
+    from .util import small_df
+
+    pts = event_points(spark, sf_dir)
+    poly = small_df(
+        spark,
+        [
+            (
+                "star_multi",
+                [
+                    [{"lat": la, "lon": lo} for la, lo in POLYGON],
+                    [{"lat": la, "lon": lo} for la, lo in POLYGON_OUTER2],
+                    [{"lat": la, "lon": lo} for la, lo in POLYGON_HOLE],
+                ],
+                "test",
+            )
+        ],
+        "polygon_id string, rings array<array<struct<lat:double,lon:double>>>, category string",
+    )
+    return (
+        point_in_polygon_join(pts, poly, keep_polygon_cols=())
+        .select(F.col("id").alias("id"), F.col("polygon_id").alias("polygon_id"))
+        .orderBy("id")
+    )
+
 
 def pip_events_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP join against the star polygon WITH a hole (multi-ring
@@ -703,6 +745,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "pip_events": pip_events,
     "pip_events_holes": pip_events_holes,
+    "pip_events_multipolygon": pip_events_multipolygon,
     "knn_events": knn_events,
     "s2_cell_counts": s2_cell_counts,
     "hex_cell_counts": hex_cell_counts,
@@ -726,6 +769,7 @@ ORACLES = {
     "events_hourly": EVENTS_HOURLY_SQL,
     "pip_events": PIP_SQL,
     "pip_events_holes": PIP_HOLES_SQL,
+    "pip_events_multipolygon": PIP_MULTI_SQL,
     "knn_events": KNN_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
     "doc_quality": QUALITY_SQL,

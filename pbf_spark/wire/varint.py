@@ -36,11 +36,19 @@ def decode_varints(buf: bytes | np.ndarray) -> np.ndarray:
         # all-single-byte run (common for delta-coded ids/refs): the
         # boundary scan, gather, and segmented reduction all collapse
         return b.astype(np.uint64)
+    starts = np.flatnonzero(np.concatenate(([True], is_end[:-1])))
+    cont = ~is_end[starts]
+    if not (cont & np.concatenate((~is_end[1:], [False]))[starts]).any():
+        # every varint is 1-2 bytes (dense-node lat/lon deltas live
+        # here): assemble pairwise, skip the cumsum/gather/reduceat
+        out = b[starts].astype(np.uint64) & 0x7F
+        ci = starts[cont]
+        out[cont] |= b[ci + 1].astype(np.uint64) << _SEVEN
+        return out
     # group id for each byte = number of terminators strictly before it
     gid = np.empty(n, dtype=np.int64)
     gid[0] = 0
     np.cumsum(is_end[:-1], out=gid[1:])
-    starts = np.flatnonzero(np.concatenate(([True], is_end[:-1])))
     pos = (np.arange(n, dtype=np.int64) - starts[gid]).astype(np.uint64)
     if pos.max() > 9:
         raise ValueError("varint longer than 10 bytes")
