@@ -95,13 +95,22 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded LSH + exact Jaccard verification.
 
     → (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
-    Scale shape: the shuffle key is (band, band_signature) — hot buckets
-    (boilerplate-heavy corpora) can be salted upstream; the final
-    distinct is over candidate pairs only.
+    Scale shape: the shuffle key is (band, band_signature). A single
+    degenerate bucket (boilerplate-heavy corpora: identical headers,
+    empty docs) makes the bucket self-join quadratic — ``max_bucket``
+    caps that: buckets above the cap are re-keyed with a REFINEMENT
+    minhash (an extra '#r'-namespaced hash), splitting them into
+    subbuckets, exactly the hot-bucket reserve-bit discipline the ANN
+    path uses (simsearch.py). Exact duplicates always share the
+    refinement key, so true-duplicate recall inside hot buckets is
+    unaffected; only cross-subbucket NEAR-dup candidates are traded
+    away (documented recall trade). Default ``None`` keeps candidates
+    exhaustive per band (the oracle-twin semantics).
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n)
@@ -123,6 +132,32 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
+    if max_bucket is not None:
+        # refinement hash: one more portable minhash in its own '#r'
+        # namespace (independent of the banded signature bits)
+        refine = df.withColumn("_t", tokens_col(text_col)).withColumn(
+            "_sh", shingles_col(text_col, shingle_n)
+        ).select(
+            F.col(id_col),
+            F.expr("coalesce(array_min(transform(_sh, s -> md5(concat(s, '#r')))), '')").alias("_rk"),
+        )
+        hot = (
+            stacked.groupBy("band", "key")
+            .count()
+            .where(F.col("count") > max_bucket)
+            .select("band", "key", F.lit(True).alias("_hot"))
+        )
+        stacked = (
+            stacked.join(F.broadcast(hot), ["band", "key"], "left")
+            .join(refine, id_col)
+            .withColumn(
+                "key",
+                F.when(F.col("_hot").isNotNull(), F.concat_ws("|", "key", "_rk")).otherwise(
+                    F.col("key")
+                ),
+            )
+            .select(id_col, "band", "key")
+        )
     a = stacked.alias("a")
     b = stacked.alias("b")
     cand = (

@@ -40,6 +40,33 @@ def test_minhash_lsh_pairs_finds_near_dups(near_dup_docs):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_lsh_hot_bucket_refinement(spark):
+    """A degenerate bucket (boilerplate corpus: many identical docs)
+    must not go quadratic when max_bucket is set — hot buckets re-key on
+    a refinement minhash — while exact duplicates inside the hot bucket
+    are still all found (identical docs share the refinement key)."""
+    boiler = "standard header text repeated across every page of the crawl " * 3
+    rows = [(i, boiler) for i in range(40)] + [
+        (100, "unique words about distributed query engines and arrow batches"),
+        (101, "unique words about distributed query engines and arrow batches limits"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs_uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    pairs_capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=10).collect()
+    }
+    # all 40*39/2 exact-dup pairs survive the refinement; the near-dup
+    # pair outside the hot bucket is untouched
+    boiler_pairs = {(a, b) for a in range(40) for b in range(a + 1, 40)}
+    assert boiler_pairs <= pairs_capped
+    assert (100, 101) in pairs_capped
+    assert pairs_capped == pairs_uncapped
+
+
 def test_simhash_metric_behaviour(near_dup_docs):
     h = {r["doc_id"]: r["simhash"] for r in dedup.simhash(near_dup_docs).collect()}
     ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
