@@ -69,3 +69,54 @@ def stream_decode_documents(
     )
     query.awaitTermination()
     return query
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    events_dir: str | Path,
+    output_dir: str | Path,
+    checkpoint_dir: str | Path,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    schema=None,
+):
+    """Watermarked windowed aggregation over an event file stream (the
+    late-data contract): counts + value sums per (event-time window,
+    event_type), append-mode so a window only emits once its watermark
+    passes — rows later than ``watermark`` behind the max seen event
+    time are dropped by construction, bounding state at 100-TB stream
+    scale. availableNow + checkpoint make the aggregation resumable
+    exactly like the decode stream; run again after new files arrive
+    and only unemitted/updated windows append.
+    """
+    from pyspark.sql import functions as F
+
+    if schema is None:
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(events_dir))
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(output_dir))
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

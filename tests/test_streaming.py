@@ -70,6 +70,55 @@ def test_resume_picks_up_new_files(spark, fixture_dir, blobs, tmp_path_factory):
     assert n2 == 2 * n1  # the new file once, the old file not re-decoded
 
 
+def test_stream_windowed_watermark_drops_late_rows(spark, tmp_path_factory):
+    """Watermarked windowed agg (late-data contract): windows emit once
+    the watermark passes; a row arriving later than the watermark behind
+    max event time is dropped; resume appends only newly closed windows."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pbf_spark.streaming.pipeline import stream_windowed_event_counts
+
+    tmp = tmp_path_factory.mktemp("winstream")
+    events, out, ckpt = tmp / "events", tmp / "agg", tmp / "ckpt"
+    events.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark reads us, not ns
+        pdf.to_parquet(events / name)
+
+    # batch 1: hours 0..3, max event time 3:20 → watermark 1:20, so only
+    # the hour-0 window (ends 1:00) has closed
+    write("a.parquet", [
+        (i, t0 + dt.timedelta(hours=h, minutes=10 * i), i, "click", 1.0, "")
+        for h in range(4)
+        for i in range(3)
+    ])
+    stream_windowed_event_counts(spark, events, out, ckpt, "1 hour", "2 hours")
+    got1 = spark.read.parquet(str(out))
+    hours1 = sorted(r["window_start"].hour for r in got1.collect())
+    assert hours1 == [0]  # hours 1-3 still open (within watermark)
+
+    # batch 2: a LATE row for hour 0 (beyond watermark → dropped) and
+    # new rows at hour 6 (advance watermark → hours 2,3,4 close)
+    write("b.parquet", [
+        (100, t0 + dt.timedelta(minutes=5), 100, "click", 99.0, ""),
+        (101, t0 + dt.timedelta(hours=6), 101, "click", 1.0, ""),
+        (102, t0 + dt.timedelta(hours=6, minutes=5), 102, "click", 1.0, ""),
+    ])
+    stream_windowed_event_counts(spark, events, out, ckpt, "1 hour", "2 hours")
+    got2 = spark.read.parquet(str(out)).collect()
+    by_hour = {r["window_start"].hour: r for r in got2}
+    assert sorted(by_hour) == [0, 1, 2, 3]  # hour 6 still open
+    # the late hour-0 row was dropped: count stays 3, sum stays 3.0
+    assert by_hour[0]["n"] == 3 and by_hour[0]["sum_value"] == 3.0
+
+
 def test_observed_decode_metrics(spark, fixture_dir, fixture_manifest, blobs):
     docs = iceberg_lite.read_table(spark, fixture_dir / "documents_interleaved")
     df, obs = lineage.observed_decode(decode.decode_documents(docs, blobs))
