@@ -120,3 +120,115 @@ def stream_windowed_event_counts(
     )
     query.awaitTermination()
     return query
+
+
+_SESSION_OUT = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+_SESSION_STATE = "start_us long, last_us long, n long, sum_value double"
+
+
+def stream_user_sessions(
+    spark: SparkSession,
+    events_dir: str | Path,
+    output_dir: str | Path,
+    checkpoint_dir: str | Path,
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+    schema=None,
+):
+    """Custom stateful sessionization via ``applyInPandasWithState``.
+
+    Groups the event stream by user and maintains one open session per
+    user in explicit state: events closer than ``gap`` extend the
+    session, a larger gap (or an event-time timeout once the watermark
+    passes last_event + gap) closes it and emits (user_id,
+    session_start, session_end, n_events, sum_value). This is the
+    operator shape Spark's built-in windows can't express when the
+    emission rule is custom — per-key state + event-time timeouts keep
+    state bounded by active users, not history, at stream scale.
+    Resumable: state and watermark live in the checkpoint, so
+    consecutive availableNow runs continue sessions across restarts.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = _duration_us(gap)
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_us, last_us, n, sv = state.get
+            state.remove()
+            yield _session_row(key[0], start_us, last_us, n, sv)
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("ts")
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        vals = rows["value"].to_numpy()
+        if state.exists:
+            start_us, last_us, n, sv = state.get
+        else:
+            start_us, last_us, n, sv = int(ts_us[0]), int(ts_us[0]) - 1, 0, 0.0
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if n > 0 and t - last_us > gap_us:
+                yield _session_row(key[0], start_us, last_us, n, sv)
+                start_us, n, sv = t, 0, 0.0
+            elif n == 0:
+                start_us = t
+            last_us = t
+            n += 1
+            sv += float(v)
+        state.update((start_us, last_us, n, sv))
+        # EventTimeTimeout requires a timestamp beyond the current
+        # watermark; clamp for sessions whose events arrived late
+        state.setTimeoutTimestamp(
+            max((last_us + gap_us) // 1000, state.getCurrentWatermarkMs() + 1)
+        )
+
+    def _session_row(uid, start_us, last_us, n, sv):
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+                "sum_value": [round(sv, 4)],
+            }
+        )
+
+    if schema is None:
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(events_dir))
+    )
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, _SESSION_OUT, _SESSION_STATE, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+    query = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(output_dir))
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def _duration_us(text: str) -> int:
+    qty, unit = text.split()
+    mult = {
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+    }[unit]
+    return int(qty) * mult

@@ -119,6 +119,59 @@ def test_stream_windowed_watermark_drops_late_rows(spark, tmp_path_factory):
     assert by_hour[0]["n"] == 3 and by_hour[0]["sum_value"] == 3.0
 
 
+def test_stream_user_sessions_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization: in-batch gap splits emit
+    immediately; open sessions close via event-time timeout once the
+    watermark passes last_event + gap; state survives restarts."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pbf_spark.streaming.pipeline import stream_user_sessions
+
+    tmp = tmp_path_factory.mktemp("sessions")
+    events, out, ckpt = tmp / "events", tmp / "sess", tmp / "ckpt"
+    events.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(events / name)
+
+    m = dt.timedelta(minutes=1)
+    # user 1: two events 10 min apart (one open session), then an
+    # in-batch gap of 2 h -> first session emits immediately;
+    # user 9's 1:00 event pins the watermark
+    write("a.parquet", [
+        (1, t0, 1, "c", 1.0, ""),
+        (2, t0 + 10 * m, 1, "c", 2.0, ""),
+        (3, t0 + 130 * m, 1, "c", 4.0, ""),
+        (4, t0 + 60 * m, 9, "c", 1.0, ""),
+    ])
+    stream_user_sessions(spark, events, out, ckpt, gap="30 minutes")
+    got1 = {(r["user_id"], r["session_start"].minute, r["n_events"]) for r in spark.read.parquet(str(out)).collect()}
+    # user1's first session closed by the in-batch gap; user9 timed out
+    # in the trailing no-data micro-batch (watermark 2:10 > 1:00+gap);
+    # user1's second session (2:10) still open
+    assert got1 == {(1, 0, 2), (9, 0, 1)}
+
+    # batch 2: watermark advances to 5:00 -> every open session's
+    # timeout (last + 30 min) fires
+    write("b.parquet", [(5, t0 + 300 * m, 7, "c", 1.0, "")])
+    stream_user_sessions(spark, events, out, ckpt, gap="30 minutes")
+    got2 = {
+        (r["user_id"], r["session_start"].hour, r["session_start"].minute, r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert (1, 0, 0, 2, 3.0) in got2      # from run 1
+    assert (1, 2, 10, 1, 4.0) in got2     # user1's second session, timed out
+    assert (9, 1, 0, 1, 1.0) in got2      # user9's session, timed out
+    assert not any(u == 7 for u, *_ in got2)  # user7 still open
+
+
 def test_observed_decode_metrics(spark, fixture_dir, fixture_manifest, blobs):
     docs = iceberg_lite.read_table(spark, fixture_dir / "documents_interleaved")
     df, obs = lineage.observed_decode(decode.decode_documents(docs, blobs))
