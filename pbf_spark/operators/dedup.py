@@ -111,6 +111,15 @@ def minhash_lsh_pairs(
     unaffected; only cross-subbucket NEAR-dup candidates are traded
     away (documented recall trade). Default ``None`` keeps candidates
     exhaustive per band (the oracle-twin semantics).
+
+    Irreducible case: a bucket of EXACTLY-identical documents cannot be
+    split by any content-derived refinement (they share every hash), and
+    its pair OUTPUT is inherently quadratic — that is the answer, not an
+    artifact. If identical-doc pileups dominate a corpus, collapse them
+    first with ``exact_dedup``/``doc_fingerprint`` (one representative
+    per fingerprint) and run LSH on the representatives; ``max_bucket``
+    exists for the other degenerate case (near-identical boilerplate
+    that a refinement hash CAN split).
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n)
@@ -133,6 +142,10 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
     if max_bucket is not None:
+        # the census + both self-join sides re-derive `stacked` (the
+        # whole tokenize→shingle→md5 signature pipeline) without this:
+        # persist it once; it is only (id, band, key) rows
+        stacked = stacked.persist()
         # refinement hash: one more portable minhash in its own '#r'
         # namespace (independent of the banded signature bits)
         refine = df.withColumn("_t", tokens_col(text_col)).withColumn(
@@ -157,6 +170,7 @@ def minhash_lsh_pairs(
                 ),
             )
             .select(id_col, "band", "key")
+            .persist()  # re-keyed side feeds BOTH halves of the self-join
         )
     a = stacked.alias("a")
     b = stacked.alias("b")

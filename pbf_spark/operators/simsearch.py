@@ -218,6 +218,7 @@ def embedding_dedup(
     bands: int = 4,
     reserve_planes: int = 8,
     max_bucket: int = 2000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded sign-LSH:
     → (id_a, id_b, cosine) with cosine ≥ threshold, id_a < id_b.
@@ -231,7 +232,9 @@ def embedding_dedup(
     instead of O(n²). The bucket census is one map-side-combined count on
     the bucket key; its hot subset is broadcast.
     """
-    dim = embeddingsdim(embeddings, vec_col)
+    # pass dim= in pipelines to avoid a driver .first() round-trip
+    # before the plan is even built
+    dim = dim if dim is not None else embeddingsdim(embeddings, vec_col)
     planes = _band_planes(bands, n_planes, dim, seed, extra=reserve_planes)
     budf = _band_bucket_udf(planes, n_planes)
     x = embeddings.select(id_col, vec_col).withColumn(

@@ -177,7 +177,14 @@ def stream_user_sessions(
                 start_us, n, sv = t, 0, 0.0
             elif n == 0:
                 start_us = t
-            last_us = t
+            else:
+                # cross-batch out-of-order rows (possible whenever the
+                # watermark > 0: rows above the watermark but older than
+                # the stored last_us still reach this function) must not
+                # REGRESS the session window — the gap split and the
+                # event-time timeout stay keyed on the true session end
+                start_us = min(start_us, t)
+            last_us = max(last_us, t)
             n += 1
             sv += float(v)
         state.update((start_us, last_us, n, sv))
@@ -224,11 +231,34 @@ def stream_user_sessions(
     return query
 
 
+_DURATION_MULT_US = {
+    "microsecond": 1, "microseconds": 1,
+    "millisecond": 1_000, "milliseconds": 1_000,
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+    "week": 604_800_000_000, "weeks": 604_800_000_000,
+}
+
+
 def _duration_us(text: str) -> int:
-    qty, unit = text.split()
-    mult = {
-        "second": 1_000_000, "seconds": 1_000_000,
-        "minute": 60_000_000, "minutes": 60_000_000,
-        "hour": 3_600_000_000, "hours": 3_600_000_000,
-    }[unit]
-    return int(qty) * mult
+    """Parse a CalendarInterval-style duration ('10 seconds 500
+    milliseconds', '1 day') to microseconds. Validated eagerly on the
+    driver with a clear error rather than failing opaquely inside the
+    executor-side state function."""
+    parts = text.strip().split()
+    if not parts or len(parts) % 2 != 0:
+        raise ValueError(
+            f"invalid duration {text!r}: expected '<qty> <unit>' pairs, "
+            f"units one of {sorted(set(_DURATION_MULT_US))}"
+        )
+    total = 0
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        if unit.lower() not in _DURATION_MULT_US:
+            raise ValueError(
+                f"invalid duration unit {unit!r} in {text!r}: "
+                f"supported units are {sorted(set(_DURATION_MULT_US))}"
+            )
+        total += int(qty) * _DURATION_MULT_US[unit.lower()]
+    return total

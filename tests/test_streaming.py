@@ -172,6 +172,61 @@ def test_stream_user_sessions_stateful(spark, tmp_path_factory):
     assert not any(u == 7 for u, *_ in got2)  # user7 still open
 
 
+def test_stream_user_sessions_out_of_order_across_batches(spark, tmp_path_factory):
+    """With watermark > 0, a later batch may deliver rows above the
+    watermark but OLDER than the stored session end; they must extend
+    the session (start backward if needed) without regressing
+    session_end or the event-time timeout."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pbf_spark.streaming.pipeline import stream_user_sessions
+
+    tmp = tmp_path_factory.mktemp("sessions_ooo")
+    events, out, ckpt = tmp / "events", tmp / "sess", tmp / "ckpt"
+    events.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(events / name)
+
+    kw = dict(gap="30 minutes", watermark="15 minutes")
+    # batch 1: session spans 0:20..0:30 (watermark after batch: 0:15)
+    write("a.parquet", [(1, t0 + 20 * m, 1, "c", 1.0, ""), (2, t0 + 30 * m, 1, "c", 2.0, "")])
+    stream_user_sessions(spark, events, out, ckpt, **kw)
+    # batch 2: 0:25 is above the 0:15 watermark but older than the
+    # stored session end (0:30) — must not shrink it
+    write("b.parquet", [(3, t0 + 25 * m, 1, "c", 4.0, "")])
+    stream_user_sessions(spark, events, out, ckpt, **kw)
+    # batch 3: advance the watermark past 0:30 + gap -> session times out
+    write("c.parquet", [(4, t0 + 300 * m, 9, "c", 1.0, "")])
+    stream_user_sessions(spark, events, out, ckpt, **kw)
+
+    rows = {
+        (r["user_id"], r["session_start"].minute, r["session_end"].minute, r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert (1, 20, 30, 3, 7.0) in rows
+
+
+def test_duration_parsing():
+    from pbf_spark.streaming.pipeline import _duration_us
+
+    assert _duration_us("1 day") == 86_400_000_000
+    assert _duration_us("90 seconds 500 milliseconds") == 90_500_000
+    assert _duration_us("2 weeks") == 2 * 604_800_000_000
+    with pytest.raises(ValueError, match="fortnights"):
+        _duration_us("5 fortnights")
+    with pytest.raises(ValueError, match="pairs"):
+        _duration_us("30")
+
+
 def test_observed_decode_metrics(spark, fixture_dir, fixture_manifest, blobs):
     docs = iceberg_lite.read_table(spark, fixture_dir / "documents_interleaved")
     df, obs = lineage.observed_decode(decode.decode_documents(docs, blobs))
