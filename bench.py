@@ -109,15 +109,16 @@ def main() -> None:
     )
     n_nodes = nodes.count()  # materialize so joins time only themselves
     polys = spark.read.parquet(str(BENCH_FIXTURE / "polygons.parquet"))
-    # build-once dimension artifact. The PREFILTER level is an internal
-    # knob (results are level-independent): city-scale polygons are
-    # boundary-dominated at level 13 (only ~5% of candidates hit the
-    # interior shortcut), so a finer boundary ladder (16) shrinks the
-    # candidate over-fetch ~4x; the per-polygon cell budget still caps
-    # covering size for large polygons (adaptive ladder).
-    index = spatial.build_polygon_index(spark, polys, level=16, levels=(10, 13, 16))
-    n_join_rows = spatial.point_in_polygon_join(nodes, index, level=16).count()
-    t_join = best_of(lambda: spatial.point_in_polygon_join(nodes, index, level=16).count())
+    # build-once dimension artifact. level=None → data-driven per-polygon
+    # finest prefilter level (vertex-scaled covering budget): round 3
+    # measured the hand-set level-16 ladder 1.6x SLOWER on these 9-vertex
+    # city polygons (419k-cell covering vs ~10k for nothing — refine is
+    # nearly free at 9 edges); tools/pip_level_sweep.py holds the
+    # auto-vs-manual evidence.
+    index = spatial.build_polygon_index(spark, polys, level=None)
+    pip_level = max(index.levels)
+    n_join_rows = spatial.point_in_polygon_join(nodes, index, level=pip_level).count()
+    t_join = best_of(lambda: spatial.point_in_polygon_join(nodes, index, level=pip_level).count())
     qtimes["engine_pip_join"] = round(t_join, 3)
 
     t_tiles = best_of(lambda: force(tiles.materialize_tiles(nodes, tile_level=10, raster_bits=5)))
@@ -152,7 +153,7 @@ def main() -> None:
 
     emb100k = synth_embeddings(spark, n_vecs).cache()
     emb100k.count()
-    q100 = emb100k.where(F.col("vec_id") % (n_vecs // 100) == 0).select(
+    q100 = emb100k.where(F.col("vec_id") % max(n_vecs // 100, 1) == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     ).cache()
     n_q = q100.count()
@@ -178,7 +179,7 @@ def main() -> None:
     if n_vecs_1m > 0:
         emb1m = synth_embeddings(spark, n_vecs_1m).cache()
         emb1m.count()
-        q50 = emb1m.where(F.col("vec_id") % (n_vecs_1m // 50) == 0).select(
+        q50 = emb1m.where(F.col("vec_id") % max(n_vecs_1m // 50, 1) == 0).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
         ).cache()
         n_q1m = q50.count()

@@ -192,12 +192,21 @@ flatten(transform(rings, r ->
 
 
 def build_polygon_index(
-    spark: SparkSession, polygons: DataFrame, level: int = 13,
+    spark: SparkSession, polygons: DataFrame, level: int | None = 13,
     keep_polygon_cols: tuple[str, ...] = ("category",),
     levels: tuple[int, ...] | None = None,
     max_cells: int = 8192,
 ) -> PolygonIndex:
-    levels = levels or tuple(lv for lv in covering.DEFAULT_LEVELS if lv < level) + (level,)
+    """``level=None`` → data-driven: the ladder runs to AUTO_LEVELS and
+    each polygon's finest level is picked from its own vertex count
+    (covering.pick_finest_level) — city-scale polygons stay at coarse
+    boundary cells (their ray-cast refine is nearly free), vertex-heavy
+    rings earn the fine ladder. Results are level-independent; this is
+    purely the perf knob round 3 measured being mis-set by hand."""
+    if level is None:
+        levels = levels or covering.AUTO_LEVELS
+    else:
+        levels = levels or tuple(lv for lv in covering.DEFAULT_LEVELS if lv < level) + (level,)
     cover_df = polygon_covering_df(polygons, levels, max_cells).cache()
     edges_expr = _RINGS_EDGES_EXPR if "rings" in polygons.columns else _EDGES_EXPR
     edges_df = polygons.select("polygon_id", F.expr(edges_expr).alias("_edges")).cache()
@@ -217,7 +226,7 @@ def build_polygon_index(
 def point_in_polygon_join(
     points: DataFrame,
     polygons: DataFrame | PolygonIndex,
-    level: int = 13,
+    level: int | None = 13,
     lat_col: str = "lat",
     lon_col: str = "lon",
     keep_polygon_cols: tuple[str, ...] = ("category",),
@@ -240,6 +249,10 @@ def point_in_polygon_join(
         index = polygons
     else:
         index = build_polygon_index(spark, polygons, level, keep_polygon_cols)
+    if level is None:
+        # data-driven index: the point-side prefilter cell matches the
+        # finest covering level actually present
+        level = max(index.levels)
     cover_df = index.cover_df
 
     # refine stays JVM-side: the even-odd ray cast is a whole-stage-codegen

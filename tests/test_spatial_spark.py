@@ -63,6 +63,23 @@ def test_pip_join_matches_exhaustive_oracle(spark, fixture_dir, nodes, nodes_np)
     assert len(expected) > 100  # fixture sanity: polygons actually cover nodes
 
 
+def test_pip_join_auto_level_identical_results(spark, fixture_dir, nodes):
+    """level=None (data-driven per-polygon prefilter) must produce the
+    SAME join rows as the manual level-13 config — the level is purely a
+    perf knob (covering is always a superset prefilter)."""
+    polys = spark.read.parquet(str(fixture_dir / "polygons.parquet"))
+    index = spatial.build_polygon_index(spark, polys, level=None)
+    auto = (
+        spatial.point_in_polygon_join(nodes, index, level=None)
+        .select("polygon_id", "id")
+    )
+    manual = (
+        spatial.point_in_polygon_join(nodes, polys, level=13)
+        .select("polygon_id", "id")
+    )
+    assert auto.exceptAll(manual).isEmpty() and manual.exceptAll(auto).isEmpty()
+
+
 def test_pip_join_holes_matches_exhaustive_oracle(spark, nodes, nodes_np):
     """Multi-ring polygon (outer + hole): engine join must equal the
     exhaustive even-odd oracle over the concatenated edges — points

@@ -189,6 +189,26 @@ def test_adaptive_covering_superset_and_interior_exactness():
     assert not (int_match & ~inside).any()
 
 
+def test_pick_finest_level_vertex_scaled():
+    """Data-driven finest level: a tiny city polygon must NOT earn the
+    level-16 ladder rung even when offered (its ray-cast refine is ~free
+    at 8 edges; round 3 measured the hand-set fine ladder 1.6x slower
+    via a 41x covering blowup), while a vertex-heavy ring of the same
+    extent DOES go finer. cells_per_vertex=None restores the raw
+    max_cells budget."""
+    from pbf_spark.spatial import covering
+
+    city = np.array(
+        [(51.36, -0.30), (51.45, -0.22), (51.60, -0.33), (51.52, -0.15),
+         (51.63, 0.05), (51.50, 0.02), (51.42, 0.16), (51.44, -0.05)]
+    )
+    assert covering.pick_finest_level(city, covering.AUTO_LEVELS) <= 13
+    th = np.linspace(0, 2 * np.pi, 2000, endpoint=False)
+    dense = np.stack([51.5 + 0.15 * np.sin(th), -0.1 + 0.24 * np.cos(th)], axis=1)
+    assert covering.pick_finest_level(dense, covering.AUTO_LEVELS) == 16
+    assert covering.pick_finest_level(city, covering.AUTO_LEVELS, cells_per_vertex=None) == 16
+
+
 def test_adaptive_covering_country_scale_bounded():
     """A country-sized polygon must cover in bounded cells and < 1 s —
     the round-1 meshgrid was O(bbox_area/cell_area) and driver-bound."""
