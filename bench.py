@@ -48,6 +48,51 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# ---------------------------------------------------------------------------
+# stall guard: this host has episodic memory-stall storms that inflate
+# wall times 3-10x for seconds to minutes — best-of-2 does NOT survive a
+# storm spanning both runs (round 3 published a 47 s number for a 6.9 s
+# job). A first-touch bandwidth probe turned out to be useless as a gate
+# (fresh-page faults read ~10-25 MB/s here near-constantly while warm
+# Spark runs are fine), so the gate is the verdict's own reproducibility
+# criterion instead: keep timing until the two FASTEST runs agree within
+# STALL_TOL, bounded by max_attempts. A storm only ever inflates a run,
+# so the reported min is safe; phases that never converged are flagged.
+# ---------------------------------------------------------------------------
+
+STALL_TOL = float(os.environ.get("SPARK_GRAFT_STALL_TOL", "0.25"))
+_STALL_RETRIES = 0
+_UNSTABLE_PHASES: list[str] = []
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def best_of(fn, runs: int = 2, max_attempts: int = 5, label: str = "") -> float:
+    """min over timed runs, extended until the two fastest agree within
+    STALL_TOL (storm-polluted runs fail that and trigger a re-run)."""
+    global _STALL_RETRIES
+    fn()  # warmup (session/codegen/python-daemon costs)
+    times: list[float] = []
+    while len(times) < max_attempts:
+        times.append(_timed(fn))
+        if len(times) >= runs:
+            lo, hi = sorted(times)[:2]
+            if hi <= lo * (1.0 + STALL_TOL):
+                return lo
+            _STALL_RETRIES += 1
+            print(
+                f"[stall-guard] {label or 'phase'}: two best runs {lo:.2f}/{hi:.2f} s "
+                f"disagree > {STALL_TOL:.0%}; re-running",
+                file=sys.stderr,
+            )
+    _UNSTABLE_PHASES.append(label or "phase")
+    return min(times)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -67,13 +112,7 @@ def main() -> None:
     # stalls, so single-shot cold numbers aren't comparable round-over-round
     qtimes: dict[str, float] = {}
     for name, fn in em.queries().items():
-        force(fn(spark, sf_dir))  # warmup
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            force(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        qtimes[name] = round(best, 3)
+        qtimes[name] = round(best_of(lambda fn=fn: force(fn(spark, sf_dir)), label=name), 3)
         # knn/pip cache helper frames internally; don't let residue skew
         # the next measurement
         spark.catalog.clearCache()
@@ -85,19 +124,7 @@ def main() -> None:
     docs = iceberg_lite.read_table(spark, BENCH_FIXTURE / "documents_interleaved")
     blobs = iceberg_lite.read_table(spark, BENCH_FIXTURE / "media_blobs")
 
-    # This host shows heavy IO-stall variance (loadavg >>, CPU idle), so
-    # engine throughputs are reported steady-state: one warmup pass, then
-    # best of 2 timed runs.
-    def best_of(fn, runs: int = 2) -> float:
-        fn()  # warmup
-        return min(_timed(fn) for _ in range(runs))
-
-    def _timed(fn) -> float:
-        t0 = time.time()
-        fn()
-        return time.time() - t0
-
-    t_decode = best_of(lambda: force(decode.decode_documents(docs, blobs)))
+    t_decode = best_of(lambda: force(decode.decode_documents(docs, blobs)), label="engine_decode")
     qtimes["engine_decode"] = round(t_decode, 3)
 
     # geometry-only decode (UDF-level column pruning) feeding the joins
@@ -118,10 +145,10 @@ def main() -> None:
     index = spatial.build_polygon_index(spark, polys, level=None)
     pip_level = max(index.levels)
     n_join_rows = spatial.point_in_polygon_join(nodes, index, level=pip_level).count()
-    t_join = best_of(lambda: spatial.point_in_polygon_join(nodes, index, level=pip_level).count())
+    t_join = best_of(lambda: spatial.point_in_polygon_join(nodes, index, level=pip_level).count(), label="engine_pip_join")
     qtimes["engine_pip_join"] = round(t_join, 3)
 
-    t_tiles = best_of(lambda: force(tiles.materialize_tiles(nodes, tile_level=10, raster_bits=5)))
+    t_tiles = best_of(lambda: force(tiles.materialize_tiles(nodes, tile_level=10, raster_bits=5)), label="engine_tiles")
     qtimes["engine_tiles"] = round(t_tiles, 3)
     spark.catalog.clearCache()
 
@@ -139,15 +166,15 @@ def main() -> None:
 
     docs1m = synth_docs(spark, n_docs).cache()
     docs1m.count()
-    # best of 2 timed runs (first doubles as warmup): this host has
-    # episodic multi-second memory-stall storms, so a single shot is not
-    # comparable round-over-round (r2 logged 103 s for a ~40 s job)
-    n_lsh_pairs = 0
-    t_lsh = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        n_lsh_pairs = dedup_ops.minhash_lsh_pairs(docs1m, n_hashes=8, bands=4, threshold=0.5).count()
-        t_lsh = min(t_lsh, time.time() - t0)
+    _lsh_res: dict = {}
+
+    def _run_lsh() -> None:
+        _lsh_res["n"] = dedup_ops.minhash_lsh_pairs(
+            docs1m, n_hashes=8, bands=4, threshold=0.5
+        ).count()
+
+    t_lsh = best_of(_run_lsh, label="engine_lsh_dedup_1m")
+    n_lsh_pairs = _lsh_res["n"]
     qtimes["engine_lsh_dedup_1m"] = round(t_lsh, 3)
     spark.catalog.clearCache()
 
@@ -160,7 +187,7 @@ def main() -> None:
     ann = lambda: simsearch.lsh_topk(
         emb100k, q100, k=5, dim=64, n_planes=12, bands=2, multiprobe=1, max_bucket=4000
     )
-    t_ann = best_of(lambda: ann().count())
+    t_ann = best_of(lambda: ann().count(), label="engine_ann_100k")
     approx = {(r["q_id"], r["vec_id"]) for r in ann().collect()}
     exact = {
         (r["q_id"], r["vec_id"])
@@ -186,9 +213,7 @@ def main() -> None:
         ann1m = lambda: simsearch.lsh_topk(
             emb1m, q50, k=5, dim=64, n_planes=12, bands=2, multiprobe=1, max_bucket=4000
         )
-        t_ann1m = float("inf")
-        for _ in range(2):
-            t_ann1m = min(t_ann1m, _timed(lambda: ann1m().count()))
+        t_ann1m = best_of(lambda: ann1m().count(), label="engine_ann_1m")
         approx1m = {(r["q_id"], r["vec_id"]) for r in ann1m().collect()}
         exact1m = {
             (r["q_id"], r["vec_id"])
@@ -238,6 +263,8 @@ def main() -> None:
                     "ann_qps": round(n_q / t_ann, 2),
                     "ann_recall_at_5": ann_recall,
                     "cpus": int(cpus),
+                    "stall_retries": _STALL_RETRIES,
+                    "unstable_phases": _UNSTABLE_PHASES,
                     **ann1m_stats,
                 },
             }

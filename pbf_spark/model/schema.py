@@ -112,6 +112,49 @@ ENTITY_ARROW_SCHEMA = pa.schema(
     ]
 )
 
+# Per-entity-type column subsets for the SLIM decode path: the JVM
+# columnar→row conversion after mapInArrow pays per column per row even
+# for all-null columns, so a nodes-only consumer should not ship
+# refs/members columns at all (they are null for every node). The
+# unified ENTITY_SCHEMA remains the default decode contract.
+KIND_FIELDS: dict[str, tuple[str, ...]] = {
+    "node": (
+        "entity_type", "id", "lat", "lon", "lat_nano", "lon_nano",
+        "tags", "info", "doc_id", "span_idx", "blob_seq",
+    ),
+    "way": ("entity_type", "id", "tags", "refs", "info", "doc_id", "span_idx", "blob_seq"),
+    "relation": ("entity_type", "id", "tags", "members", "info", "doc_id", "span_idx", "blob_seq"),
+}
+
+
+# LocationsOnWays (osm.proto Way.lat/lon, optional): way geometries
+# inline, no node join. Opt-in columns — appended to the decode schema
+# only when requested (the unified schema stays slim for the 99% of
+# files that don't carry them).
+WAY_LOC_SPARK_FIELDS = [
+    T.StructField("way_lats", T.ArrayType(T.DoubleType(), False), True),
+    T.StructField("way_lons", T.ArrayType(T.DoubleType(), False), True),
+]
+WAY_LOC_ARROW_FIELDS = [
+    pa.field("way_lats", pa.list_(pa.field("item", pa.float64(), False))),
+    pa.field("way_lons", pa.list_(pa.field("item", pa.float64(), False))),
+]
+
+
+def entity_schema_subset(fields) -> tuple[T.StructType, pa.schema]:
+    """(Spark, Arrow) schema pair for a subset of entity columns, in
+    canonical ENTITY_SCHEMA order (+ optional way-location columns)."""
+    want = set(fields)
+    names = [f.name for f in ENTITY_SCHEMA.fields if f.name in want]
+    spark_fields = [ENTITY_SCHEMA[n] for n in names]
+    arrow_fields = [ENTITY_ARROW_SCHEMA.field(n) for n in names]
+    for sf, af in zip(WAY_LOC_SPARK_FIELDS, WAY_LOC_ARROW_FIELDS):
+        if sf.name in want:
+            spark_fields.append(sf)
+            arrow_fields.append(af)
+    return T.StructType(spark_fields), pa.schema(arrow_fields)
+
+
 # ---------------------------------------------------------------------------
 # interleaved document table (north-rule input, BASELINE.json input_hint)
 # ---------------------------------------------------------------------------

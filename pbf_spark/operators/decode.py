@@ -24,7 +24,16 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..model.schema import ENTITY_ARROW_SCHEMA, ENTITY_SCHEMA
+from ..model.schema import (
+    ENTITY_ARROW_SCHEMA,
+    ENTITY_SCHEMA,
+    KIND_FIELDS,
+    WAY_LOC_ARROW_FIELDS,
+    entity_schema_subset,
+)
+
+_WAY_LATS_TYPE = WAY_LOC_ARROW_FIELDS[0].type
+_WAY_LONS_TYPE = WAY_LOC_ARROW_FIELDS[1].type
 from ..wire import frame as wire_frame
 from ..wire import osmformat
 from ..wire.osmformat import MEMBER_TYPE_NAMES, BlockSoA, EntitySoA
@@ -68,6 +77,18 @@ def _info_array(soa: EntitySoA, strings_arr: pa.Array, n: int) -> pa.Array:
     )
 
 
+def _way_loc_array(
+    soa: EntitySoA, coord, offset: int, block: BlockSoA, n: int, typ: pa.DataType
+) -> pa.Array:
+    """LocationsOnWays coords (parallel to refs) → list<double> degrees."""
+    if coord is None:
+        return pa.nulls(n, typ)
+    vals = osmformat.to_degrees(osmformat.nano_degrees(coord, offset, block.granularity))
+    return pa.ListArray.from_arrays(
+        pa.array(soa.ref_off, pa.int32()), pa.array(vals, pa.float64()), type=typ
+    )
+
+
 def _entity_batch(
     kind: str,
     soa: EntitySoA,
@@ -76,27 +97,33 @@ def _entity_batch(
     span_idx: int | None,
     blob_seq: int | None,
     columns: frozenset[str] | None = None,
+    out_schema: pa.Schema = ENTITY_ARROW_SCHEMA,
 ) -> pa.RecordBatch | None:
+    """One (kind, SoA) → Arrow batch holding exactly ``out_schema``'s
+    fields. The slim path drops whole columns (not just nulls them):
+    the JVM columnar→row conversion after mapInArrow costs per column
+    per row even when every value is null."""
     n = len(soa)
     if n == 0:
         return None
 
+    want_names = set(out_schema.names)
+
     def want(col: str) -> bool:
-        return columns is None or col in columns
+        return col in want_names and (columns is None or col in columns)
 
     strings_arr = block.strings_arrow  # already Arrow — no conversion
     nulls_f64 = pa.nulls(n, pa.float64())
     nulls_i64 = pa.nulls(n, pa.int64())
-    if kind == "node":
+    lat = lon = nulls_f64
+    lat_nano_a = lon_nano_a = nulls_i64
+    if kind == "node" and {"lat", "lon", "lat_nano", "lon_nano"} & want_names:
         lat_nano = osmformat.nano_degrees(soa.lat_coord, block.lat_offset, block.granularity)
         lon_nano = osmformat.nano_degrees(soa.lon_coord, block.lon_offset, block.granularity)
         lat = pa.array(osmformat.to_degrees(lat_nano), pa.float64())
         lon = pa.array(osmformat.to_degrees(lon_nano), pa.float64())
         lat_nano_a = pa.array(lat_nano, pa.int64())
         lon_nano_a = pa.array(lon_nano, pa.int64())
-    else:
-        lat = lon = nulls_f64
-        lat_nano_a = lon_nano_a = nulls_i64
     if kind == "way" and want("refs"):
         refs = pa.ListArray.from_arrays(
             pa.array(soa.ref_off, pa.int32()), pa.array(soa.refs, pa.int64())
@@ -124,22 +151,36 @@ def _entity_batch(
             return pa.nulls(n, pa.string())
         return pc.take(pa.array([v], pa.string()), pa.array(np.zeros(n, np.int32)))
 
-    arrays = [
-        const_str(kind),
-        pa.array(soa.id, pa.int64()),
-        lat,
-        lon,
-        lat_nano_a,
-        lon_nano_a,
-        _tags_array(soa, strings_arr) if want("tags") else pa.nulls(n, _TAG_TYPE),
-        refs,
-        members,
-        _info_array(soa, strings_arr, n) if want("info") else pa.nulls(n, _INFO_TYPE),
-        const_str(doc_id),
-        pa.nulls(n, pa.int32()) if span_idx is None else pa.array(np.full(n, span_idx, np.int32)),
-        pa.nulls(n, pa.int64()) if blob_seq is None else pa.array(np.full(n, blob_seq, np.int64)),
-    ]
-    return pa.RecordBatch.from_arrays(arrays, schema=ENTITY_ARROW_SCHEMA)
+    builders = {
+        "entity_type": lambda: const_str(kind),
+        "id": lambda: pa.array(soa.id, pa.int64()),
+        "lat": lambda: lat,
+        "lon": lambda: lon,
+        "lat_nano": lambda: lat_nano_a,
+        "lon_nano": lambda: lon_nano_a,
+        "tags": lambda: _tags_array(soa, strings_arr) if want("tags") else pa.nulls(n, _TAG_TYPE),
+        "refs": lambda: refs,
+        "members": lambda: members,
+        "info": lambda: _info_array(soa, strings_arr, n) if want("info") else pa.nulls(n, _INFO_TYPE),
+        "doc_id": lambda: const_str(doc_id),
+        "span_idx": lambda: pa.nulls(n, pa.int32())
+        if span_idx is None
+        else pa.array(np.full(n, span_idx, np.int32)),
+        "blob_seq": lambda: pa.nulls(n, pa.int64())
+        if blob_seq is None
+        else pa.array(np.full(n, blob_seq, np.int64)),
+        "way_lats": lambda: _way_loc_array(soa, soa.way_lat_coord, block.lat_offset, block, n, _WAY_LATS_TYPE)
+        if kind == "way"
+        else pa.nulls(n, _WAY_LATS_TYPE),
+        "way_lons": lambda: _way_loc_array(soa, soa.way_lon_coord, block.lon_offset, block, n, _WAY_LONS_TYPE)
+        if kind == "way"
+        else pa.nulls(n, _WAY_LONS_TYPE),
+    }
+    arrays = [builders[name]() for name in out_schema.names]
+    return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
+_ALL_KINDS = ("node", "way", "relation")
 
 
 def decode_blob_payload(
@@ -150,13 +191,17 @@ def decode_blob_payload(
     span_idx: int | None = None,
     blob_seq: int | None = None,
     columns: frozenset[str] | None = None,
+    kinds: tuple[str, ...] = _ALL_KINDS,
+    out_schema: pa.Schema = ENTITY_ARROW_SCHEMA,
 ) -> list[pa.RecordBatch]:
     """One OSMData blob payload → entity record batches (nodes, ways, rels)."""
     raw = wire_frame.decompress_payload(codec, payload, raw_size)
     block = osmformat.parse_primitive_block(raw)
     out = []
     for kind, soa in (("node", block.nodes), ("way", block.ways), ("relation", block.relations)):
-        rb = _entity_batch(kind, soa, block, doc_id, span_idx, blob_seq, columns)
+        if kind not in kinds:
+            continue
+        rb = _entity_batch(kind, soa, block, doc_id, span_idx, blob_seq, columns, out_schema)
         if rb is not None:
             out.append(rb)
     return out
@@ -166,6 +211,8 @@ def _decode_map_arrow(
     batches: Iterator[pa.RecordBatch],
     columns: frozenset[str] | None = None,
     coalesce_rows: int = 65536,
+    kinds: tuple[str, ...] = _ALL_KINDS,
+    out_schema: pa.Schema = ENTITY_ARROW_SCHEMA,
 ) -> Iterator[pa.RecordBatch]:
     # Per-blob decode emits ≤8000-row batches (1-3 per blob); shipping
     # those individually costs a fixed Arrow-IPC + JVM-columnar-batch
@@ -212,6 +259,8 @@ def _decode_map_arrow(
                 span_idxs[i],
                 blob_seqs[i],
                 columns,
+                kinds,
+                out_schema,
             ):
                 pending.append(rb)
                 pending_rows += rb.num_rows
@@ -225,6 +274,9 @@ def decode_blobs(
     partitions: int | None = None,
     columns: frozenset[str] | set[str] | None = None,
     coalesce_rows: int = 65536,
+    kinds: tuple[str, ...] | None = None,
+    slim: bool = False,
+    way_locations: bool = False,
 ) -> DataFrame:
     """Blob table → entity DataFrame.
 
@@ -238,12 +290,37 @@ def decode_blobs(
     pushed into the UDF explicitly — pass the expensive nested columns
     you need of {"tags", "info", "refs", "members"}; pruned columns
     come back null with the schema unchanged.
+
+    ``kinds``: restrict to a subset of entity types at the source (the
+    non-requested SoAs are never materialized). ``slim=True`` (requires
+    ``kinds``) additionally DROPS the columns no requested kind can
+    populate (schema.KIND_FIELDS union) instead of emitting them as
+    nulls — the row-conversion cost after mapInArrow is per column per
+    row, so a nodes-only pipeline should not ship refs/members at all.
     """
     if partitions:
         blob_df = blob_df.repartition(partitions)
     want = frozenset(columns) if columns is not None else None
+    kinds_t = tuple(kinds) if kinds is not None else _ALL_KINDS
+    spark_schema, arrow_schema = ENTITY_SCHEMA, ENTITY_ARROW_SCHEMA
+    way_locs = ["way_lats", "way_lons"] if (way_locations and "way" in kinds_t) else []
+    if slim:
+        if kinds is None:
+            raise ValueError("slim=True requires kinds=(...) — the union schema is not slim")
+        fields: list[str] = []
+        for k in kinds_t:
+            fields.extend(f for f in KIND_FIELDS[k] if f not in fields)
+        if want is not None:
+            drop = {"tags", "info", "refs", "members"} - want
+            fields = [f for f in fields if f not in drop]
+        spark_schema, arrow_schema = entity_schema_subset(fields + way_locs)
+    elif way_locs:
+        spark_schema, arrow_schema = entity_schema_subset(
+            [f.name for f in ENTITY_SCHEMA.fields] + way_locs
+        )
     return blob_df.mapInArrow(
-        lambda it: _decode_map_arrow(it, want, coalesce_rows), ENTITY_SCHEMA
+        lambda it: _decode_map_arrow(it, want, coalesce_rows, kinds_t, arrow_schema),
+        spark_schema,
     )
 
 
@@ -252,6 +329,8 @@ def decode_documents(
     media_blobs: DataFrame,
     partitions: int | None = None,
     columns: frozenset[str] | set[str] | None = None,
+    kinds: tuple[str, ...] | None = None,
+    slim: bool = False,
 ) -> DataFrame:
     """Interleaved document table + blob sidecar → entity DataFrame (B1+B2).
 
@@ -279,7 +358,7 @@ def decode_documents(
         # simply having enough input files) makes this a no-op — pass
         # partitions=0 to skip.
         partitions = joined.sparkSession.sparkContext.defaultParallelism * 2
-    return decode_blobs(joined, partitions or None, columns)
+    return decode_blobs(joined, partitions or None, columns, kinds=kinds, slim=slim)
 
 
 def count_by_type(entities: DataFrame) -> DataFrame:

@@ -98,6 +98,13 @@ class EntitySoA:
     # ways
     ref_off: np.ndarray | None = None
     refs: np.ndarray | None = None
+    # LocationsOnWays (osm.proto Way.lat/lon fields 9/10, optional):
+    # delta-coded coords parallel to refs, sharing ref_off. The reference
+    # decoder never reads these fields (its model.Way has no coordinates,
+    # model/entities.go:77-83) — parity-plus: way geometries without a
+    # node join are exactly what a spatial engine wants at scale.
+    way_lat_coord: np.ndarray | None = None
+    way_lon_coord: np.ndarray | None = None
     # relations
     mem_off: np.ndarray | None = None
     mem_ref: np.ndarray | None = None
@@ -415,12 +422,22 @@ def _packed_ragged(chunks: list[bytes], owners: list[int], n: int, signed: bool,
 def _decode_ways(bufs: list[memoryview], date_granularity: int) -> EntitySoA:
     n = len(bufs)
     varints, packed, owners, msgs, _pres = _scan_length_delimited(
-        bufs, packed_fields=(2, 3, 8), varint_fields=(1,), msg_fields=(4,)
+        bufs, packed_fields=(2, 3, 8, 9, 10), varint_fields=(1,), msg_fields=(4,)
     )
     soa = EntitySoA(id=varints[1])
     soa.tag_off, soa.tag_key = _packed_ragged(packed[2], owners[2], n, False, False)
     _voff, soa.tag_val = _packed_ragged(packed[3], owners[3], n, False, False)
     soa.ref_off, soa.refs = _packed_ragged(packed[8], owners[8], n, True, True)
+    # LocationsOnWays: same packed sint64 delta decode as refs
+    lat_off, lats = _packed_ragged(packed[9], owners[9], n, True, True)
+    lon_off, lons = _packed_ragged(packed[10], owners[10], n, True, True)
+    if lats.size or lons.size:
+        if not (np.array_equal(lat_off, soa.ref_off) and np.array_equal(lon_off, soa.ref_off)):
+            # spec: per way, the number of values in refs, lat and lon
+            # MUST be the same (osm.proto:233-235)
+            raise ValueError("LocationsOnWays lat/lon counts must match refs per way")
+        soa.way_lat_coord = lats
+        soa.way_lon_coord = lons
     if msgs[4]:
         soa.info = _decode_info_batch(msgs[4], n, date_granularity)
     return soa
@@ -462,11 +479,17 @@ def _concat_entity(parts: list[EntitySoA]) -> EntitySoA:
 
     def _cat(attr):
         vals = [getattr(p, attr) for p in parts]
-        return None if vals[0] is None else np.concatenate(vals)
+        if all(v is None for v in vals):
+            return None
+        if any(v is None for v in vals):
+            raise ValueError(f"mixed presence of {attr} across groups in one block")
+        return np.concatenate(vals)
 
     out.lat_coord = _cat("lat_coord")
     out.lon_coord = _cat("lon_coord")
     out.refs = _cat("refs")
+    out.way_lat_coord = _cat("way_lat_coord")
+    out.way_lon_coord = _cat("way_lon_coord")
     out.mem_ref = _cat("mem_ref")
     out.mem_type = _cat("mem_type")
     out.mem_role = _cat("mem_role")
@@ -670,8 +693,18 @@ def _tag_fields(b: MessageBuilder, kf: int, vf: int, tags: list[tuple[str, str]]
     b.bytes_field(vf, encode_varints(np.array([sid[v] for _, v in st], np.uint64)))
 
 
-def build_ways_group(ways: list[dict], sid: dict[str, int], date_granularity: int = DEFAULT_DATE_GRANULARITY) -> MessageBuilder:
-    """Ways group — extractWays (encoder/primitive.go:189-215)."""
+def build_ways_group(
+    ways: list[dict],
+    sid: dict[str, int],
+    date_granularity: int = DEFAULT_DATE_GRANULARITY,
+    granularity: int = DEFAULT_GRANULARITY,
+) -> MessageBuilder:
+    """Ways group — extractWays (encoder/primitive.go:189-215).
+
+    Parity-plus: ways carrying ``lat_nanos``/``lon_nanos`` (parallel to
+    refs) emit LocationsOnWays fields 9/10 (osm.proto:228-235, delta
+    sint64 in granularity units). The writer of such a file MUST set the
+    'LocationsOnWays' optional feature in the header (spec)."""
     group = MessageBuilder()
     for w in ways:
         wb = MessageBuilder()
@@ -681,6 +714,13 @@ def build_ways_group(ways: list[dict], sid: dict[str, int], date_granularity: in
             i = w["info"]
             _encode_info(wb, 4, i.get("version", -1), i.get("ts_ms"), i.get("changeset"), i.get("uid"), sid.get(i.get("user", "")), i.get("visible", True), date_granularity)
         wb.bytes_field(8, encode_varints(zigzag_encode(_delta(np.asarray(w["refs"], np.int64)))))
+        if w.get("lat_nanos") is not None:
+            lat_coord = np.asarray(w["lat_nanos"], np.int64) // granularity
+            lon_coord = np.asarray(w["lon_nanos"], np.int64) // granularity
+            if lat_coord.size != len(w["refs"]) or lon_coord.size != len(w["refs"]):
+                raise ValueError("LocationsOnWays lat/lon counts must match refs")
+            wb.bytes_field(9, encode_varints(zigzag_encode(_delta(lat_coord))))
+            wb.bytes_field(10, encode_varints(zigzag_encode(_delta(lon_coord))))
         group.message(3, wb)
     return group
 

@@ -53,6 +53,74 @@ def test_sample_pbf_file_golden(spark):
     assert got == {"node": 290, "way": 44, "relation": 5}  # info_integration_test.go analogue
 
 
+def test_slim_typed_decode_matches_unified(spark, fixture_dir, entities, fixture_manifest):
+    """kinds+slim decode: node-only slim frame drops refs/members from
+    the SCHEMA (not just nulls them) and its rows equal the unified
+    frame's node rows; way-only slim keeps refs and matches too."""
+    docs = iceberg_lite.read_table(spark, fixture_dir / "documents_interleaved")
+    blobs = iceberg_lite.read_table(spark, fixture_dir / "media_blobs")
+
+    nodes = decode.decode_documents(docs, blobs, kinds=("node",), slim=True)
+    assert "refs" not in nodes.columns and "members" not in nodes.columns
+    assert {"lat", "lon", "lat_nano", "lon_nano", "tags", "info"} <= set(nodes.columns)
+    assert nodes.count() == fixture_manifest["counts"]["node"]
+    cols = nodes.columns
+    uni_nodes = entities.where("entity_type='node'").select(*cols)
+    assert nodes.exceptAll(uni_nodes).isEmpty() and uni_nodes.exceptAll(nodes).isEmpty()
+
+    ways = decode.decode_documents(docs, blobs, kinds=("way",), slim=True)
+    assert "lat" not in ways.columns and "members" not in ways.columns
+    assert ways.count() == fixture_manifest["counts"]["way"]
+    uni_ways = entities.where("entity_type='way'").select(*ways.columns)
+    assert ways.exceptAll(uni_ways).isEmpty() and uni_ways.exceptAll(ways).isEmpty()
+
+    rels = decode.decode_documents(docs, blobs, kinds=("relation",), slim=True)
+    assert "refs" not in rels.columns and "lat" not in rels.columns
+    assert rels.count() == fixture_manifest["counts"]["relation"]
+    uni_rels = entities.where("entity_type='relation'").select(*rels.columns)
+    assert rels.exceptAll(uni_rels).isEmpty() and uni_rels.exceptAll(rels).isEmpty()
+
+
+def test_way_locations_decode(spark):
+    """LocationsOnWays through the full Spark decode: opt-in way_lats/
+    way_lons columns, degrees parallel to refs; absent by default."""
+    import numpy as np
+
+    from pbf_spark.util import small_df
+    from pbf_spark.model.schema import MEDIA_BLOB_SCHEMA
+    from pbf_spark.wire.osmformat import (
+        StringTable,
+        build_primitive_block,
+        build_ways_group,
+    )
+
+    st = StringTable()
+    st.add("")
+    table, sid = st.build()
+    lats = [51_500_000_000, 51_500_001_000, 51_499_999_000]
+    lons = [-100_000_000, -99_999_000, -99_998_000]
+    raw = build_primitive_block(
+        [build_ways_group([dict(id=7, refs=[10, 25, 30], lat_nanos=lats, lon_nanos=lons)], sid)],
+        table,
+    )
+    blob_df = small_df(
+        spark, [("m0", 0, "OSMData", "raw", len(raw), bytearray(raw))], MEDIA_BLOB_SCHEMA
+    )
+
+    df = decode.decode_blobs(blob_df, way_locations=True)
+    row = df.where("entity_type='way'").collect()[0]
+    assert row["refs"] == [10, 25, 30]
+    assert np.allclose(row["way_lats"], [v / 1e9 for v in lats])
+    assert np.allclose(row["way_lons"], [v / 1e9 for v in lons])
+
+    # default schema unchanged (opt-in column)
+    assert "way_lats" not in decode.decode_blobs(blob_df).columns
+    # slim way decode can carry them too
+    slim = decode.decode_blobs(blob_df, kinds=("way",), slim=True, way_locations=True)
+    assert "way_lats" in slim.columns and "lat" not in slim.columns
+    assert slim.collect()[0]["way_lats"] == row["way_lats"]
+
+
 def test_node_fields(entities, fixture_manifest):
     bbox = fixture_manifest["bbox"]
     stats = entities.filter("entity_type='node'").agg(

@@ -144,6 +144,44 @@ def test_primitive_block_roundtrip():
     assert list(blk.strings[rels.mem_role]) == ["outer", "", "outer"]
 
 
+def test_locations_on_ways_roundtrip():
+    """LocationsOnWays (osm.proto:228-235): optional delta-coded lat/lon
+    parallel to refs. Parity-plus vs the reference — its decoder never
+    reads fields 9/10 (model/entities.go Way has no coordinates)."""
+    st = StringTable()
+    st.add("")
+    table, sid = st.build()
+    lat1 = [51_500_000_000, 51_500_001_000, 51_499_999_000]
+    lon1 = [-100_000_000, -99_999_000, -99_998_000]
+    lat2 = [10_000_000_000, 10_000_000_100]
+    lon2 = [20_000_000_000, 19_999_999_900]
+    g = build_ways_group(
+        [
+            dict(id=7, refs=[10, 25, 30], lat_nanos=lat1, lon_nanos=lon1),
+            dict(id=8, refs=[30, 10], lat_nanos=lat2, lon_nanos=lon2),
+        ],
+        sid,
+    )
+    blk = parse_primitive_block(build_primitive_block([g], table))
+    ways = blk.ways
+    assert list(ways.ref_off) == [0, 3, 5]
+    got_lat = osmformat.nano_degrees(ways.way_lat_coord, blk.lat_offset, blk.granularity)
+    got_lon = osmformat.nano_degrees(ways.way_lon_coord, blk.lon_offset, blk.granularity)
+    assert list(got_lat) == lat1 + lat2
+    assert list(got_lon) == lon1 + lon2
+
+    # ways WITHOUT locations keep None (no phantom columns downstream)
+    g_plain = build_ways_group([dict(id=9, refs=[1, 2])], sid)
+    blk2 = parse_primitive_block(build_primitive_block([g_plain], table))
+    assert blk2.ways.way_lat_coord is None
+
+    # count-mismatch must be rejected on both ends
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="match refs"):
+        build_ways_group([dict(id=1, refs=[1, 2], lat_nanos=[0], lon_nanos=[0])], sid)
+
+
 def test_degrees_fixed_point_roundtrip():
     """Coordinate grid round-trip matrix (model/types_test.go:60-131 analogue)."""
     for gran in (100, 1000):
