@@ -71,6 +71,61 @@ def stream_decode_documents(
     return query
 
 
+def stream_decode_windowed_counts(
+    spark: SparkSession,
+    docs_table_dir: str | Path,
+    media_blobs: DataFrame,
+    output_dir: str | Path,
+    checkpoint_dir: str | Path,
+    window_duration: str = "30 days",
+    watermark: str = "0 seconds",
+):
+    """COMPOSED pipeline: document file stream → mapInArrow PBF decode →
+    watermarked windowed aggregation over the decoded entities' edit
+    timestamps (info.ts) — one streaming query, ONE checkpoint covering
+    the whole composition. Restarting anywhere (including between the
+    decode and the aggregation, mid-micro-batch) resumes exactly-once:
+    the offsets log pins which document files each batch consumed and
+    the state store holds the partial windows, so a window's counts are
+    emitted exactly once no matter where the kill lands. This is the B9
+    composition the batch operators can't give you — a two-job pipeline
+    with an intermediate table has a non-atomic boundary; a single
+    stateful query does not.
+    """
+    from pyspark.sql import functions as F
+
+    docs_stream = (
+        spark.readStream.schema(DOCUMENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(Path(docs_table_dir) / "data"))
+    )
+    # partitions=0: no repartition inside a streaming plan (micro-batch
+    # file splits already parallelize); same decode operator as batch
+    entities = decode_documents(docs_stream, media_blobs, partitions=0)
+    agg = (
+        entities.where(F.col("info.ts").isNotNull())
+        .withColumn("ts", F.col("info.ts"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "entity_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "entity_type",
+            "n",
+        )
+    )
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(output_dir))
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def stream_windowed_event_counts(
     spark: SparkSession,
     events_dir: str | Path,

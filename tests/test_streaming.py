@@ -70,6 +70,62 @@ def test_resume_picks_up_new_files(spark, fixture_dir, blobs, tmp_path_factory):
     assert n2 == 2 * n1  # the new file once, the old file not re-decoded
 
 
+def test_composed_decode_windowed_counts_exactly_once(spark, fixture_dir, blobs, tmp_path_factory):
+    """B9 composition: ONE streaming query runs file-stream → PBF decode
+    (mapInArrow) → watermarked windowed agg with a single checkpoint.
+    Emitted window counts must equal the batch recomputation, and
+    restarting the composed pipeline (with and without new input) must
+    never re-emit a window — exactly-once across the composition
+    boundary."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from pbf_spark.streaming.pipeline import stream_decode_windowed_counts
+
+    tmp = tmp_path_factory.mktemp("composed")
+    staged = tmp / "docs_table" / "data"
+    staged.mkdir(parents=True)
+    src_files = sorted((fixture_dir / "documents_interleaved" / "data").glob("*.parquet"))
+    shutil.copy(src_files[0], staged / "part-a.parquet")
+    out, ckpt = tmp / "win_counts", tmp / "ckpt"
+
+    stream_decode_windowed_counts(spark, tmp / "docs_table", blobs, out, ckpt)
+    got1 = spark.read.parquet(str(out)).collect()
+    assert len(got1) > 3  # several (window, entity_type) cells emitted
+
+    # batch recomputation of the same composition, restricted to the
+    # windows the stream has emitted (the max-ts window legitimately
+    # stays open under a 0-second watermark)
+    docs = iceberg_lite.read_table(spark, fixture_dir / "documents_interleaved")
+    batch = (
+        decode.decode_documents(docs, blobs)
+        .where(F.col("info.ts").isNotNull())
+        .groupBy(F.window(F.col("info.ts"), "30 days").alias("win"), "entity_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "entity_type", "n")
+    )
+    expected = {(r["window_start"], r["entity_type"]): r["n"] for r in batch.collect()}
+    for r in got1:
+        assert expected[(r["window_start"], r["entity_type"])] == r["n"]
+
+    # restart with NO new input: nothing may re-emit
+    stream_decode_windowed_counts(spark, tmp / "docs_table", blobs, out, ckpt)
+    assert spark.read.parquet(str(out)).count() == len(got1)
+
+    # restart with new input (same content, new file): every row is at
+    # or below the watermark, so emitted windows must NOT change and no
+    # (window, entity_type) cell may ever appear twice
+    shutil.copy(src_files[0], staged / "part-b.parquet")
+    stream_decode_windowed_counts(spark, tmp / "docs_table", blobs, out, ckpt)
+    got3 = spark.read.parquet(str(out)).collect()
+    cells = [(r["window_start"], r["entity_type"]) for r in got3]
+    assert len(cells) == len(set(cells))  # exactly-once per window
+    for r in got3:
+        if (r["window_start"], r["entity_type"]) in {(g["window_start"], g["entity_type"]) for g in got1}:
+            assert expected[(r["window_start"], r["entity_type"])] == r["n"]
+
+
 def test_stream_windowed_watermark_drops_late_rows(spark, tmp_path_factory):
     """Watermarked windowed agg (late-data contract): windows emit once
     the watermark passes; a row arriving later than the watermark behind

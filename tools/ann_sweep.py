@@ -1,0 +1,79 @@
+"""ANN multiprobe sweep: the recall/QPS frontier, not a point.
+
+Sweeps Hamming multiprobe radius {0, 1, 2} for the banded sign-LSH
+top-k (simsearch.lsh_topk) at 1M vectors (and re-measures the 100k
+config the round-3 bench caught mid-storm), with recall@5 against the
+exact cosine top-k on the same query set. This is the 100-TB tuning
+curve: radius trades broadcast probe volume for recall.
+
+Writes bench_out/ann_sweep.json and prints it.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from bench import best_of  # noqa: E402
+
+
+def sweep_corpus(spark, n_vecs: int, n_q: int, radii=(0, 1, 2)) -> dict:
+    from pyspark.sql import functions as F
+
+    from pbf_spark.fixtures.synth import synth_embeddings
+    from pbf_spark.operators import simsearch
+
+    emb = synth_embeddings(spark, n_vecs).cache()
+    emb.count()
+    qs = emb.where(F.col("vec_id") % max(n_vecs // n_q, 1) == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).cache()
+    nq = qs.count()
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in simsearch.cosine_topk(emb, qs, k=5).collect()
+    }
+
+    out = {"vectors": n_vecs, "queries": nq}
+    for radius in radii:
+        ann = lambda: simsearch.lsh_topk(
+            emb, qs, k=5, dim=64, n_planes=12, bands=2,
+            multiprobe=radius, max_bucket=4000,
+        )
+        t = best_of(lambda: ann().count(), label=f"ann{n_vecs}_r{radius}")
+        approx = {(r["q_id"], r["vec_id"]) for r in ann().collect()}
+        out[f"radius_{radius}"] = {
+            "sec": round(t, 3),
+            "qps": round(nq / t, 2),
+            "recall_at_5": round(len(exact & approx) / max(len(exact), 1), 4),
+        }
+        print(f"n={n_vecs} radius={radius}: {out[f'radius_{radius}']}", file=sys.stderr)
+    emb.unpersist()
+    qs.unpersist()
+    return out
+
+
+def main() -> None:
+    import os
+
+    from pbf_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="ann-sweep", master=f"local[{cpus}]")
+    n_1m = int(os.environ.get("SPARK_GRAFT_BENCH_VECS_1M", "1000000"))
+    n_100k = int(os.environ.get("SPARK_GRAFT_BENCH_VECS", "100000"))
+    out = {
+        "corpus_100k": sweep_corpus(spark, n_100k, 100),
+        "corpus_1m": sweep_corpus(spark, n_1m, 50),
+    }
+    dest = REPO / "bench_out" / "ann_sweep.json"
+    dest.write_text(json.dumps(out, indent=2))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

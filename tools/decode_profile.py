@@ -37,8 +37,17 @@ def python_component_breakdown(max_blobs: int = 200) -> dict:
     files = sorted((BENCH_FIXTURE / "media_blobs" / "data").glob("*.parquet"))
     rows = []
     for p in files:
-        t = pq.read_table(p, columns=["codec", "raw_size", "payload"])
-        rows.extend(zip(t.column("codec").to_pylist(), t.column("raw_size").to_pylist(), t.column("payload").to_pylist()))
+        t = pq.read_table(p, columns=["blob_type", "codec", "raw_size", "payload"])
+        rows.extend(
+            (c, r, pl)
+            for bt, c, r, pl in zip(
+                t.column("blob_type").to_pylist(),
+                t.column("codec").to_pylist(),
+                t.column("raw_size").to_pylist(),
+                t.column("payload").to_pylist(),
+            )
+            if bt == "OSMData"
+        )
         if len(rows) >= max_blobs:
             break
     rows = rows[:max_blobs]
