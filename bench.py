@@ -137,11 +137,12 @@ def main() -> None:
     n_nodes = nodes.count()  # materialize so joins time only themselves
     polys = spark.read.parquet(str(BENCH_FIXTURE / "polygons.parquet"))
     # build-once dimension artifact. level=None → data-driven per-polygon
-    # finest prefilter level (vertex-scaled covering budget): round 3
-    # measured the hand-set level-16 ladder 1.6x SLOWER on these 9-vertex
-    # city polygons (419k-cell covering vs ~10k for nothing — refine is
-    # nearly free at 9 edges); tools/pip_level_sweep.py holds the
-    # auto-vs-manual evidence.
+    # finest prefilter level (perimeter-budget rule over the full AUTO
+    # ladder): the interleaved convergence-gated sweep (tools/
+    # pip_level_sweep.py → bench_out/pip_level_sweep.json) measured the
+    # auto pick matching the best manual config on BOTH the 192-polygon
+    # city workload and a country-scale ring (where a mis-set fine
+    # ladder is a 9x catastrophe).
     index = spatial.build_polygon_index(spark, polys, level=None)
     pip_level = max(index.levels)
     n_join_rows = spatial.point_in_polygon_join(nodes, index, level=pip_level).count()

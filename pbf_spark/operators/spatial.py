@@ -95,6 +95,7 @@ def polygon_covering_df(
     polygons: DataFrame,
     levels: tuple[int, ...] = covering.DEFAULT_LEVELS,
     max_cells: int = 8192,
+    cells_per_vertex: float | None = None,
 ) -> DataFrame:
     """Distributed adaptive covering: one numpy BFS per polygon inside
     mapInPandas (coarse interior cells + fine boundary cells — see
@@ -127,7 +128,7 @@ def polygon_covering_df(
                     np.array([[p["lat"], p["lon"]] for p in r], dtype=np.float64)
                     for r in rings_raw
                 ]
-                ids, lvls, inner = covering.polygon_covering(rings, levels, max_cells)
+                ids, lvls, inner = covering.polygon_covering(rings, levels, max_cells, cells_per_vertex)
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array([pid] * len(ids), pa.string()),
@@ -196,6 +197,7 @@ def build_polygon_index(
     keep_polygon_cols: tuple[str, ...] = ("category",),
     levels: tuple[int, ...] | None = None,
     max_cells: int = 8192,
+    cells_per_vertex: float | None = None,
 ) -> PolygonIndex:
     """``level=None`` → data-driven: the ladder runs to AUTO_LEVELS and
     each polygon's finest level is picked from its own vertex count
@@ -207,7 +209,7 @@ def build_polygon_index(
         levels = levels or covering.AUTO_LEVELS
     else:
         levels = levels or tuple(lv for lv in covering.DEFAULT_LEVELS if lv < level) + (level,)
-    cover_df = polygon_covering_df(polygons, levels, max_cells).cache()
+    cover_df = polygon_covering_df(polygons, levels, max_cells, cells_per_vertex).cache()
     edges_expr = _RINGS_EDGES_EXPR if "rings" in polygons.columns else _EDGES_EXPR
     edges_df = polygons.select("polygon_id", F.expr(edges_expr).alias("_edges")).cache()
     attrs_df = (

@@ -89,6 +89,49 @@ def materialize_tiles(
     return counts.groupBy("tile_cell").applyInPandas(densify, TILE_SCHEMA)
 
 
+def tile_pyramid(
+    points: DataFrame,
+    base_level: int = 9,
+    levels: tuple[int, ...] = (9, 7, 5),
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Multi-resolution tile counts (the zoom pyramid) in ONE pass:
+    → (level, tile_cell, n_points).
+
+    The point side is scanned once — each point's base-level cell
+    explodes to its ancestor id at every pyramid level (pure bit math,
+    like the PIP prefilter), and a single partial-aggregated groupBy
+    produces every zoom level. The naive per-level re-aggregation would
+    re-shuffle the fact table once per level; this shuffles once total,
+    and rolling coarse levels up from the base keeps counts consistent
+    across the pyramid by construction.
+    """
+    from ..spatial.covering import ancestor_at_level_expr
+
+    if max(levels) > base_level:
+        raise ValueError(f"pyramid levels {levels} must be <= base_level {base_level}")
+    base = points.withColumn(
+        "_base", _fine_cell_udf(base_level)(F.col(lat_col), F.col(lon_col))
+    )
+    anc = F.array(
+        *[
+            F.struct(
+                F.lit(lv).alias("level"),
+                F.expr(
+                    "_base" if lv == base_level else ancestor_at_level_expr("_base", base_level, lv)
+                ).alias("tile_cell"),
+            )
+            for lv in levels
+        ]
+    )
+    return (
+        base.select(F.explode(anc).alias("_lc"))
+        .groupBy(F.col("_lc.level").alias("level"), F.col("_lc.tile_cell").alias("tile_cell"))
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
 def raster_to_vector(tiles: DataFrame, tile_level: int = 10, raster_bits: int = 5) -> DataFrame:
     """Inverse: non-empty bins → (tile_cell, bin, n, lat, lon) bin-center points."""
     fine_level = tile_level + raster_bits

@@ -734,6 +734,119 @@ FROM v ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# temporal operators over events (sessionization / as-of join) + pyramid
+# ---------------------------------------------------------------------------
+
+
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) via window functions — the
+    batch twin of the streaming applyInPandasWithState sessionizer.
+    One shuffle on user_id; scales with keys, not history."""
+    from .operators.temporal import sessionize
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    return sessionize(ev, gap_seconds=1800).orderBy("user_id", "session_id")
+
+
+EVENT_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) + 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM numbered GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest strictly
+    earlier view — union + ignorenulls-last window, ONE shuffle on the
+    key (no per-key range explosion; DuckDB twin uses the same window
+    construction, so semantics are pinned row-exactly)."""
+    from .operators.temporal import asof_join
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    views = ev.where(F.col("event_type") == "view")
+    out = asof_join(purchases, views)
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.col("asof_ts").alias("view_ts"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+ASOF_JOIN_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'view'
+), seq AS (
+  SELECT user_id, ts, event_id, side,
+         last_value(CASE WHEN side = 1 THEN event_id END IGNORE NULLS)
+           OVER w AS view_event_id,
+         last_value(CASE WHEN side = 1 THEN ts END IGNORE NULLS)
+           OVER w AS view_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, view_event_id, view_ts,
+       epoch_us(ts) - epoch_us(view_ts) AS gap_us
+FROM seq
+WHERE side = 0 AND view_ts IS NOT NULL
+ORDER BY event_id
+"""
+
+
+def tile_pyramid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom pyramid (levels 9/7/5) over event points in ONE fact-table
+    pass: the base cell explodes to bit-math ancestors, a single
+    partial-aggregated groupBy yields every level (the naive plan
+    re-shuffles the points once per zoom level)."""
+    from .operators.tiles import tile_pyramid
+
+    t = tile_pyramid(event_points(spark, sf_dir), base_level=9, levels=(9, 7, 5))
+    return t.orderBy("level", F.desc("n_points"), "tile_cell").limit(150)
+
+
+def _tile_pyramid_sql() -> str:
+    from .spatial.covering import ancestor_at_level_expr
+    from .spatial.s2_expr import s2_cell_sql_duckdb
+
+    src = s2_cell_sql_duckdb("lat", "lon", 9, out="_base").format(src=f"({_POINTS_SQL})")
+    arms = []
+    for lv in (9, 7, 5):
+        cell = "_base" if lv == 9 else ancestor_at_level_expr("_base", 9, lv)
+        arms.append(f"SELECT {lv} AS level, {cell} AS tile_cell FROM base")
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH base AS (SELECT _base FROM {src}),
+pyramid AS ({union})
+SELECT level, tile_cell, count(*) AS n_points
+FROM pyramid GROUP BY level, tile_cell
+ORDER BY level, n_points DESC, tile_cell LIMIT 150
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -759,6 +872,9 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "doc_simhash": doc_simhash,
     "lsh_near_dup_pairs": lsh_near_dup_pairs,
+    "event_sessions": event_sessions,
+    "asof_join_events": asof_join_events,
+    "tile_pyramid": tile_pyramid_events,
 }
 
 ORACLES = {
@@ -783,4 +899,7 @@ ORACLES = {
     "tile_density": _tile_density_sql(),
     "doc_simhash": _simhash_sql(),
     "hex_cell_counts": _hex_counts_sql(),
+    "event_sessions": EVENT_SESSIONS_SQL,
+    "asof_join_events": ASOF_JOIN_SQL,
+    "tile_pyramid": _tile_pyramid_sql(),
 }

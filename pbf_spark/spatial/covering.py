@@ -38,8 +38,9 @@ from . import geometry, s2
 
 DEFAULT_LEVELS: tuple[int, ...] = (7, 10, 13)
 # data-driven ladder: extends one rung finer than DEFAULT_LEVELS so
-# vertex-heavy polygons CAN earn level-16 boundary cells; tiny polygons
-# never reach it (pick_finest_level's vertex-scaled budget)
+# small-perimeter polygons can earn level-16 boundary cells while the
+# coarse rungs keep country-scale interiors cheap; pick_finest_level's
+# perimeter budget decides per polygon
 AUTO_LEVELS: tuple[int, ...] = (7, 10, 13, 16)
 
 
@@ -121,21 +122,26 @@ def _as_rings(rings) -> list[np.ndarray]:
 
 
 def pick_finest_level(
-    rings, levels=DEFAULT_LEVELS, max_cells: int = 8192, cells_per_vertex: float | None = 8.0
+    rings, levels=DEFAULT_LEVELS, max_cells: int = 8192, cells_per_vertex: float | None = None
 ) -> int:
     """Finest ladder level whose boundary-cell estimate fits the budget.
 
-    The budget is data-driven when ``cells_per_vertex`` is set: a finer
-    boundary ladder only pays when the ray-cast refine it avoids is
-    expensive, and refine cost per candidate is O(vertices) — so a
-    9-vertex city polygon gets a coarse covering (refine is nearly free;
-    a 41x-bigger broadcast would buy nothing — measured 1.6x SLOWER in
-    round 3), while a 10k-vertex coastline earns the fine boundary cells
-    that keep its candidates out of a 10k-edge aggregate. Effective
-    budget: ``min(max_cells, max(64, cells_per_vertex * n_vertices))``.
-    Pass ``cells_per_vertex=None`` for the raw ``max_cells`` budget.
-    Results are level-independent (covering is always a superset
-    prefilter); this knob is purely a perf trade.
+    Default rule: the PERIMETER budget — finest level whose boundary-cell
+    estimate fits ``max_cells``. Measured on interleaved convergence-
+    gated runs (tools/pip_level_sweep.py, bench_out/pip_level_sweep.json):
+    with a dense point cloud, candidate over-fetch (∝ perimeter ×
+    cell_size × point_density) dominates the broadcast cost of a finer
+    covering, so small city polygons WANT level 16 (2.56 s vs 3.28 s at
+    13 on the 192-polygon bench workload), while a country-scale ring
+    correctly lands at 10 with coarse interior rungs (2.6 s; forcing its
+    ladder fine + budget-coarsening it is a 23 s catastrophe).
+
+    ``cells_per_vertex`` optionally scales the budget with vertex count
+    (min(max_cells, max(64, cpv * n_vertices))) for sparse point clouds
+    where refine cost dominates over-fetch; the sweep measured it WORSE
+    on dense clouds (mixed per-polygon coarseness starves hot polygons),
+    so it is opt-in. Results are level-independent either way (covering
+    is always a superset prefilter); this knob is purely a perf trade.
     """
     perim_deg = 0.0
     n_vertices = 0
@@ -159,7 +165,7 @@ def _ancestor_ids(ids: np.ndarray, to_level: int) -> np.ndarray:
 
 
 def polygon_covering(
-    rings, levels=DEFAULT_LEVELS, max_cells: int = 8192
+    rings, levels=DEFAULT_LEVELS, max_cells: int = 8192, cells_per_vertex: float | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """→ (cell_id, level, interior) arrays covering a polygon.
 
@@ -181,7 +187,7 @@ def polygon_covering(
         # not an assert: must survive `python -O` — a sub-3 ladder makes
         # the lat/lon-box classification unsound near poles/antimeridian
         raise ValueError(f"covering ladder must start at level >= 3, got {sorted(levels)}")
-    finest = pick_finest_level(rings, levels, max_cells)
+    finest = pick_finest_level(rings, levels, max_cells, cells_per_vertex)
     ladder = sorted(lv for lv in levels if lv <= finest)
     edges = geometry.EdgeIndex(rings)
 

@@ -189,24 +189,28 @@ def test_adaptive_covering_superset_and_interior_exactness():
     assert not (int_match & ~inside).any()
 
 
-def test_pick_finest_level_vertex_scaled():
-    """Data-driven finest level: a tiny city polygon must NOT earn the
-    level-16 ladder rung even when offered (its ray-cast refine is ~free
-    at 8 edges; round 3 measured the hand-set fine ladder 1.6x slower
-    via a 41x covering blowup), while a vertex-heavy ring of the same
-    extent DOES go finer. cells_per_vertex=None restores the raw
-    max_cells budget."""
+def test_pick_finest_level_perimeter_budget():
+    """Data-driven finest level (perimeter budget, the measured winner —
+    bench_out/pip_level_sweep.json): a small city polygon earns the
+    level-16 rung of the AUTO ladder (its boundary estimate fits the
+    budget and over-fetch dominates broadcast cost on dense point
+    clouds), while a country-scale ring lands at a coarse finest level
+    and keeps coarse interior rungs. The opt-in vertex-scaled budget
+    (cells_per_vertex) picks coarser for few-vertex polygons."""
     from pbf_spark.spatial import covering
 
     city = np.array(
         [(51.36, -0.30), (51.45, -0.22), (51.60, -0.33), (51.52, -0.15),
          (51.63, 0.05), (51.50, 0.02), (51.42, 0.16), (51.44, -0.05)]
     )
-    assert covering.pick_finest_level(city, covering.AUTO_LEVELS) <= 13
-    th = np.linspace(0, 2 * np.pi, 2000, endpoint=False)
-    dense = np.stack([51.5 + 0.15 * np.sin(th), -0.1 + 0.24 * np.cos(th)], axis=1)
-    assert covering.pick_finest_level(dense, covering.AUTO_LEVELS) == 16
-    assert covering.pick_finest_level(city, covering.AUTO_LEVELS, cells_per_vertex=None) == 16
+    assert covering.pick_finest_level(city, covering.AUTO_LEVELS) == 16
+    th = np.linspace(0, 2 * np.pi, 400, endpoint=False)
+    r = 5.0 + 1.5 * np.sin(5 * th) + 0.8 * np.cos(11 * th)
+    country = np.stack(
+        [48 + r * np.sin(th), 10 + r * np.cos(th) / np.cos(np.radians(48))], axis=1
+    )
+    assert covering.pick_finest_level(country, covering.AUTO_LEVELS) <= 13
+    assert covering.pick_finest_level(city, covering.AUTO_LEVELS, cells_per_vertex=8.0) <= 13
 
 
 def test_adaptive_covering_country_scale_bounded():

@@ -57,22 +57,45 @@ def country_points(spark, n: int):
     )
 
 
-def run_config(spark, points, polys, level, levels=None):
+def run_workload(spark, points, polys, configs: dict, rounds: int = 3) -> dict:
+    """INTERLEAVED measurement: the host's throughput drifts on minute
+    scale, so sequential per-config timing confounds config with drift
+    (round 3's lesson). Build every index up front, then time configs
+    round-robin A,B,C,A,B,C,... and keep each config's min."""
+    import time
+
     from pbf_spark.operators import spatial
 
-    index = spatial.build_polygon_index(spark, polys, level=level, levels=levels)
-    lv = max(index.levels)
-    cover_cells = index.cover_df.count()
-    rows = spatial.point_in_polygon_join(points, index, level=lv).count()
-    t = best_of(
-        lambda: spatial.point_in_polygon_join(points, index, level=lv).count(),
-        label=f"pip@{level}",
-    )
-    index.cover_df.unpersist()
-    index.edges_df.unpersist()
-    if index.attrs_df is not None:
-        index.attrs_df.unpersist()
-    return {"sec": round(t, 3), "rows": rows, "cover_cells": cover_cells, "finest": lv}
+    built = {}
+    for name, cfg in configs.items():
+        index = spatial.build_polygon_index(spark, polys, keep_polygon_cols=(), **cfg)
+        lv = max(index.levels)
+        built[name] = {
+            "index": index,
+            "lv": lv,
+            "cover_cells": index.cover_df.count(),
+            "rows": spatial.point_in_polygon_join(points, index, level=lv).count(),  # warm
+            "sec": float("inf"),
+        }
+    for _ in range(rounds):
+        for name, b in built.items():
+            t0 = time.time()
+            spatial.point_in_polygon_join(points, b["index"], level=b["lv"]).count()
+            b["sec"] = min(b["sec"], time.time() - t0)
+    out = {}
+    for name, b in built.items():
+        out[name] = {
+            "sec": round(b["sec"], 3),
+            "rows": b["rows"],
+            "cover_cells": b["cover_cells"],
+            "finest": b["lv"],
+        }
+        b["index"].cover_df.unpersist()
+        b["index"].edges_df.unpersist()
+        print(f"{name}: {out[name]}", file=sys.stderr)
+    rows = {v["rows"] for v in out.values()}
+    assert len(rows) == 1, f"level must not change results: {rows}"
+    return out
 
 
 def main() -> None:
@@ -94,21 +117,24 @@ def main() -> None:
     city_polys = spark.read.parquet(str(BENCH_FIXTURE / "polygons.parquet"))
 
     out: dict = {"n_points": n_nodes}
-    configs = {"manual13": dict(level=13), "manual16": dict(level=16, levels=(10, 13, 16)), "auto": dict(level=None)}
-    for name, cfg in configs.items():
-        out[f"city_{name}"] = run_config(spark, nodes, city_polys, **cfg)
-        print(f"city {name}: {out[f'city_{name}']}", file=sys.stderr)
-    rows = {out[f"city_{k}"]["rows"] for k in configs}
-    assert len(rows) == 1, f"level must not change results: {rows}"
+    # manual configs disable the vertex-scaled budget (cells_per_vertex=
+    # None) — they reproduce the raw ladder choice a caller would have
+    # hand-set before round 4 (incl. the measured-bad city@16 config)
+    configs = {
+        "manual13": dict(level=13, cells_per_vertex=None),
+        "manual16": dict(level=16, levels=(10, 13, 16), cells_per_vertex=None),
+        "auto": dict(level=None),
+    }
+    city = run_workload(spark, nodes, city_polys, configs)
+    for name, v in city.items():
+        out[f"city_{name}"] = v
 
     cpolys = country_polygon(spark)
     cpoints = country_points(spark, n_nodes).cache()
     cpoints.count()
-    for name, cfg in configs.items():
-        out[f"country_{name}"] = run_config(spark, cpoints, cpolys, **cfg)
-        print(f"country {name}: {out[f'country_{name}']}", file=sys.stderr)
-    rows = {out[f"country_{k}"]["rows"] for k in configs}
-    assert len(rows) == 1, f"level must not change results: {rows}"
+    country = run_workload(spark, cpoints, cpolys, configs)
+    for name, v in country.items():
+        out[f"country_{name}"] = v
 
     for wl in ("city", "country"):
         best_manual = min(out[f"{wl}_manual13"]["sec"], out[f"{wl}_manual16"]["sec"])
