@@ -130,15 +130,23 @@ def _encode_chunk(pdf: pd.DataFrame, kind: str, codec: str) -> bytes:
             }
         group = build_dense_nodes_group(ids, lat, lon, tags, sid, info=info)
     elif kind == "way":
-        ways = [
-            {
+        ways = []
+        for i, r in enumerate(rows):
+            w = {
                 "id": r["id"],
                 "refs": [int(x) for x in _as_list(r["refs"])],
                 "tags": r["_tags"],
                 "info": {**infos[i], "ts_ms": infos[i]["ts_ms"] or 0} if infos[i] else None,
             }
-            for i, r in enumerate(rows)
-        ]
+            # LocationsOnWays re-emit: degrees → nano (the decode's
+            # to_degrees is nano/1e9, whose double is within half an ulp
+            # of the exact value — round() recovers the integer exactly
+            # for |nano| <= 1.8e11, bit-exact round trip)
+            lats = _as_list(r.get("way_lats"))
+            if lats:
+                w["lat_nanos"] = [int(round(v * 1e9)) for v in lats]
+                w["lon_nanos"] = [int(round(v * 1e9)) for v in _as_list(r["way_lons"])]
+            ways.append(w)
         group = build_ways_group(ways, sid)
     else:
         rels = [
@@ -194,11 +202,17 @@ def write_pbf(entities: DataFrame, path: str | Path, codec: str = "zlib") -> dic
     features = ["OsmSchema-V0.6", "DenseNodes"] + (
         ["HistoricalInformation"] if visible_false else []
     )
+    # spec (osm.proto:232): a file whose ways carry inline locations MUST
+    # declare the optional feature
+    way_locs = "way_lats" in entities.columns and (
+        entities.where("entity_type='way' AND way_lats IS NOT NULL").limit(1).count() > 0
+    )
     header = Header(
         bbox_nano=(bbox["left"], bbox["right"], bbox["top"], bbox["bottom"])
         if bbox["left"] is not None
         else None,
         required_features=tuple(features),
+        optional_features=("LocationsOnWays",) if way_locs else (),
         writing_program="pbf_spark",
     )
     blocks = encode_blocks(entities, codec)

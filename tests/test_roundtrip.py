@@ -88,3 +88,56 @@ def test_roundtrip_sample_pbf(spark, tmp_path_factory):
     d1 = ents.agg(canonical_digest(ents).alias("d")).first()["d"]
     d2 = red.agg(canonical_digest(red).alias("d")).first()["d"]
     assert d1 == d2
+
+
+def test_roundtrip_locations_on_ways_file(spark, tmp_path_factory):
+    """File-level LocationsOnWays round trip: decode (opt-in columns) →
+    write_pbf (re-emits fields 9/10 + declares the optional feature) →
+    decode again, way coordinates bit-exact."""
+    from pbf_spark.model.schema import MEDIA_BLOB_SCHEMA
+    from pbf_spark.util import small_df
+    from pbf_spark.wire.osmformat import (
+        StringTable,
+        build_dense_nodes_group,
+        build_primitive_block,
+        build_ways_group,
+    )
+    import numpy as np
+
+    st = StringTable()
+    st.add("")
+    table, sid = st.build()
+    # granularity-100 representable (the default wire precision is 1e-7 deg)
+    lats = [51_500_000_000, 51_500_001_000, 51_499_999_100]
+    lons = [-100_000_000, -99_999_000, -99_998_400]
+    nodes_g = build_dense_nodes_group(
+        np.array([10, 25, 30]), np.array(lats, np.int64), np.array(lons, np.int64), None, sid
+    )
+    ways_g = build_ways_group(
+        [dict(id=7, refs=[10, 25, 30], lat_nanos=lats, lon_nanos=lons)], sid
+    )
+    raw = build_primitive_block([nodes_g, ways_g], table)
+    blob_df = small_df(
+        spark, [("m0", 0, "OSMData", "raw", len(raw), bytearray(raw))], MEDIA_BLOB_SCHEMA
+    )
+    ents = decode.decode_blobs(blob_df, way_locations=True)
+
+    out = tmp_path_factory.mktemp("rtlow") / "low.osm.pbf"
+    pbf_sink.write_pbf(ents, out)
+    hdr = pbf_file.load_header(out)
+    assert "LocationsOnWays" in hdr.optional_features
+
+    red = decode.decode_blobs(pbf_file.read_blob_table(spark, out), way_locations=True)
+    row = red.where("entity_type='way'").collect()[0]
+    first = ents.where("entity_type='way'").collect()[0]
+    # bit-exact vs the first decode (to_degrees is nano * 1e-9, so the
+    # doubles are NOT v/1e9 to the last ulp — compare decode-vs-redecode)
+    assert row["way_lats"] == first["way_lats"]
+    assert row["way_lons"] == first["way_lons"]
+    assert [round(v * 1e9) for v in row["way_lats"]] == lats
+    assert [round(v * 1e9) for v in row["way_lons"]] == lons
+
+    # a file without way locations must NOT declare the feature
+    out2 = tmp_path_factory.mktemp("rtlow") / "plain.osm.pbf"
+    pbf_sink.write_pbf(decode.decode_blobs(blob_df), out2)
+    assert "LocationsOnWays" not in pbf_file.load_header(out2).optional_features
