@@ -1,0 +1,69 @@
+"""Way-geometry assembly: refs → node-coordinate join → ordered arrays.
+
+The classic OSM big-big join the reference never needs (its model stops
+at refs — model/entities.go:77-83) but any spatial engine over OSM does:
+a way's geometry is the ordered coordinates of its referenced nodes.
+
+100-TB shape: this is THE shuffle-heavy operator of OSM processing —
+|way_refs| ≈ 10x |ways| rows joined against billions of nodes. The plan
+here is the scalable one: posexplode (keeps ref order as an index), ONE
+shuffle join on node id (AQE handles skew; bucket both sides by id to
+make it co-located), then a partial-aggregated groupBy reassembling
+arrays with ``array_sort`` on (pos, lat, lon) structs — no window, no
+driver collect, no Python. Files written with LocationsOnWays
+(decode_blobs(way_locations=True)) skip this join entirely — that is
+exactly why the optional feature exists, and why the encoder supports
+emitting it (sources/pbf_sink.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assemble_way_geometries(
+    ways: DataFrame,
+    nodes: DataFrame,
+    how: str = "inner",
+) -> DataFrame:
+    """→ (id, way_lats, way_lons, n_missing) with coordinates in ref order.
+
+    ``ways``: rows with (id, refs array<long>); ``nodes``: rows with
+    (id, lat, lon). ``how='inner'`` drops ways referencing only missing
+    nodes; ways with SOME missing nodes keep the found coordinates (gap
+    closed up, ``n_missing`` says how many refs had no node — extracts
+    of a planet file routinely clip way endpoints).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    refs = ways.select(
+        F.col("id").alias("way_id"), F.posexplode("refs").alias("pos", "ref")
+    )
+    n = nodes.select(
+        F.col("id").alias("ref"), F.col("lat").alias("_nlat"), F.col("lon").alias("_nlon")
+    )
+    joined = refs.join(n, "ref", "left")
+    assembled = (
+        joined.groupBy("way_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_nlat").isNotNull(),
+                        F.struct("pos", F.col("_nlat").alias("lat"), F.col("_nlon").alias("lon")),
+                    )
+                )
+            ).alias("_pts"),
+            F.sum(F.when(F.col("_nlat").isNull(), 1).otherwise(0)).alias("n_missing"),
+        )
+        .select(
+            F.col("way_id").alias("id"),
+            F.expr("transform(_pts, p -> p.lat)").alias("way_lats"),
+            F.expr("transform(_pts, p -> p.lon)").alias("way_lons"),
+            "n_missing",
+        )
+    )
+    if how == "inner":
+        assembled = assembled.where(F.size("way_lats") > 0)
+    return assembled

@@ -121,6 +121,55 @@ def test_way_locations_decode(spark):
     assert slim.collect()[0]["way_lats"] == row["way_lats"]
 
 
+def test_assemble_way_geometries(entities, fixture_manifest):
+    """Way-geometry assembly (refs → node join → ordered arrays): every
+    fixture way resolves all refs; spot-check coordinate order against a
+    local pandas join."""
+    from pbf_spark.operators.ways import assemble_way_geometries
+
+    nodes = entities.where("entity_type='node'").select("id", "lat", "lon")
+    ways = entities.where("entity_type='way'").select("id", "refs")
+    asm = assemble_way_geometries(ways, nodes).cache()
+    assert asm.count() == fixture_manifest["counts"]["way"]
+    assert asm.where("n_missing > 0").count() == 0
+
+    sample = {r["id"]: r for r in asm.limit(50).collect()}
+    node_xy = {
+        r["id"]: (r["lat"], r["lon"])
+        for r in nodes.join(
+            ways.where(F.col("id").isin(*sample)).select(F.explode("refs").alias("id")).distinct(),
+            "id",
+        ).collect()
+    }
+    for w in ways.where(F.col("id").isin(*sample)).collect():
+        got = sample[w["id"]]
+        exp = [node_xy[r] for r in w["refs"]]
+        assert got["way_lats"] == [e[0] for e in exp]
+        assert got["way_lons"] == [e[1] for e in exp]
+    asm.unpersist()
+
+
+def test_assemble_way_geometries_missing_nodes(spark):
+    """Clipped extracts: refs to absent nodes close the gap and are
+    counted; ways with no resolvable node drop under how='inner'."""
+    from pbf_spark.operators.ways import assemble_way_geometries
+    from pbf_spark.util import small_df
+
+    ways = small_df(
+        spark,
+        [(1, [10, 99, 11]), (2, [98, 99])],
+        "id long, refs array<long>",
+    )
+    nodes = small_df(
+        spark, [(10, 1.0, 2.0), (11, 3.0, 4.0)], "id long, lat double, lon double"
+    )
+    got = {r["id"]: r for r in assemble_way_geometries(ways, nodes).collect()}
+    assert got[1]["way_lats"] == [1.0, 3.0] and got[1]["n_missing"] == 1
+    assert 2 not in got
+    left = {r["id"]: r for r in assemble_way_geometries(ways, nodes, how="left").collect()}
+    assert left[2]["way_lats"] == [] and left[2]["n_missing"] == 2
+
+
 def test_node_fields(entities, fixture_manifest):
     bbox = fixture_manifest["bbox"]
     stats = entities.filter("entity_type='node'").agg(

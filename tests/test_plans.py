@@ -60,3 +60,36 @@ def test_lsh_pairs_no_cartesian(spark):
 def test_events_hourly_partial_agg(spark):
     plan = plan_of(Q.events_hourly(spark, SF))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_sessionize_single_shuffle_on_key(spark):
+    """Batch sessionization must shuffle ONCE on the key: the window and
+    the session aggregation share the user_id partitioning."""
+    plan = plan_of(Q.event_sessions(spark, SF))
+    assert "CartesianProduct" not in plan
+    # exactly one exchange hash-partitioned on user_id feeds both the
+    # window and the groupBy (plus the final orderBy's range exchange)
+    assert plan.count("hashpartitioning(user_id") >= 1
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
+    assert exchanges.count("user_id") == 1
+
+
+def test_asof_join_no_range_explosion(spark):
+    """The as-of join is a window composition — never a range/cartesian
+    join, one hash exchange on the key."""
+    plan = plan_of(Q.asof_join_events(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
+    assert exchanges.count("user_id") == 1
+
+
+def test_tile_pyramid_one_pass(spark):
+    """All zoom levels from ONE scan of the fact side with map-side
+    partial aggregation."""
+    plan = plan_of(Q.tile_pyramid_events(spark, SF))
+    assert plan.count("Scan parquet") == 2  # events scanned exactly once
+    assert plan.count("HashAggregate") >= 2  # partial + final
