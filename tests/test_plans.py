@@ -69,11 +69,7 @@ def test_sessionize_single_shuffle_on_key(spark):
     assert "CartesianProduct" not in plan
     # exactly one exchange hash-partitioned on user_id feeds both the
     # window and the groupBy (plus the final orderBy's range exchange)
-    assert plan.count("hashpartitioning(user_id") >= 1
-    import re
-
-    exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
-    assert exchanges.count("user_id") == 1
+    assert plan.count("hashpartitioning(user_id") == 1
 
 
 def test_asof_join_no_range_explosion(spark):
@@ -81,10 +77,7 @@ def test_asof_join_no_range_explosion(spark):
     join, one hash exchange on the key."""
     plan = plan_of(Q.asof_join_events(spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    import re
-
-    exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
-    assert exchanges.count("user_id") == 1
+    assert plan.count("hashpartitioning(user_id") == 1
 
 
 def test_tile_pyramid_one_pass(spark):
