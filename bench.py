@@ -242,6 +242,24 @@ def main() -> None:
         }
         spark.catalog.clearCache()
 
+    # host calibration: two ENGINE-INDEPENDENT workloads so round-over-
+    # round comparisons can normalize for this host's multi-hour
+    # degraded phases (this session measured the same code 1.5-5x
+    # slower than round 3 across the board): a pure-codegen Spark job
+    # (constant plan, no pbf_spark code) and a warm numpy memcpy.
+    import numpy as np
+
+    cal = lambda: spark.range(1 << 28).select(
+        F.xxhash64("id").alias("h")
+    ).groupBy().sum("h").collect()
+    t_cal = best_of(cal, label="host_calibration")
+    a = np.ones(1 << 28, np.uint8)
+    b = np.empty_like(a)
+    np.copyto(b, a)  # fault both
+    t_cp = min(_timed(lambda: np.copyto(b, a)) for _ in range(3))
+    memcpy_gbps = round(0.25 / t_cp, 2)
+    del a, b
+
     total = round(sum(qtimes.values()), 3)
     print(
         json.dumps(
@@ -266,6 +284,8 @@ def main() -> None:
                     "cpus": int(cpus),
                     "stall_retries": _STALL_RETRIES,
                     "unstable_phases": _UNSTABLE_PHASES,
+                    "host_calibration_sec": round(t_cal, 3),
+                    "host_memcpy_gbps": memcpy_gbps,
                     **ann1m_stats,
                 },
             }
