@@ -249,9 +249,11 @@ def main() -> None:
     # (constant plan, no pbf_spark code) and a warm numpy memcpy.
     import numpy as np
 
+    # min/max, not sum: ANSI mode errors on bigint overflow and 2^28
+    # full-range xxhash64 values overflow a long sum
     cal = lambda: spark.range(1 << 28).select(
         F.xxhash64("id").alias("h")
-    ).groupBy().sum("h").collect()
+    ).agg(F.min("h"), F.max("h")).collect()
     t_cal = best_of(cal, label="host_calibration")
     a = np.ones(1 << 28, np.uint8)
     b = np.empty_like(a)

@@ -67,3 +67,30 @@ def assemble_way_geometries(
     if how == "inner":
         assembled = assembled.where(F.size("way_lats") > 0)
     return assembled
+
+
+def way_length_expr(lat_col: str = "way_lats", lon_col: str = "way_lons") -> str:
+    """Geodesic polyline length (meters) over parallel coordinate
+    arrays, entirely in Catalyst (haversine per consecutive pair inside
+    one ``aggregate`` — whole-stage codegen, no UDF). Same arithmetic
+    as spatial/geometry.haversine_m (IUGG mean radius)."""
+    la, lo = lat_col, lon_col
+    # CASE guards the size<2 case: Spark's sequence(0, -1) yields a
+    # DESCENDING [0,-1], not an empty array
+    return f"""
+    CASE WHEN {la} IS NULL OR size({la}) < 2 THEN CAST(0.0 AS DOUBLE)
+    ELSE aggregate(sequence(0, size({la}) - 2), CAST(0.0 AS DOUBLE), (acc, i) ->
+      acc + 2.0 * 6371008.8 * asin(sqrt(
+        pow(sin(radians(({la}[i+1] - {la}[i]) / 2)), 2)
+        + cos(radians({la}[i])) * cos(radians({la}[i+1]))
+          * pow(sin(radians(({lo}[i+1] - {lo}[i]) / 2)), 2))))
+    END
+    """
+
+
+def with_way_lengths(
+    df: DataFrame, lat_col: str = "way_lats", lon_col: str = "way_lons"
+) -> DataFrame:
+    """Add ``length_m``: geodesic length of each way's coordinate arrays
+    (from LocationsOnWays decode or assemble_way_geometries)."""
+    return df.withColumn("length_m", F.expr(way_length_expr(lat_col, lon_col)))

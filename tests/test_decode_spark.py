@@ -149,6 +149,25 @@ def test_assemble_way_geometries(entities, fixture_manifest):
     asm.unpersist()
 
 
+def test_way_lengths_match_numpy(entities):
+    """Catalyst haversine polyline length == the numpy geometry helper
+    on assembled fixture ways (and 0 for degenerate/missing arrays)."""
+    import numpy as np
+
+    from pbf_spark.operators.ways import assemble_way_geometries, with_way_lengths
+    from pbf_spark.spatial import geometry
+
+    nodes = entities.where("entity_type='node'").select("id", "lat", "lon")
+    ways = entities.where("entity_type='way'").select("id", "refs").limit(200)
+    got = with_way_lengths(assemble_way_geometries(ways, nodes)).collect()
+    assert len(got) == 200
+    for r in got:
+        la, lo = np.array(r["way_lats"]), np.array(r["way_lons"])
+        exp = float(geometry.haversine_m(la[:-1], lo[:-1], la[1:], lo[1:]).sum()) if la.size > 1 else 0.0
+        assert abs(r["length_m"] - exp) <= max(1e-6 * exp, 1e-6)
+    assert sum(r["length_m"] for r in got) > 0
+
+
 def test_assemble_way_geometries_missing_nodes(spark):
     """Clipped extracts: refs to absent nodes close the gap and are
     counted; ways with no resolvable node drop under how='inner'."""
