@@ -192,3 +192,60 @@ def knn_join(
         for df in cached:
             df.unpersist()
     return out
+
+
+def range_join(
+    points: DataFrame,
+    queries: DataFrame,
+    radius_m: float,
+    res: int | None = None,
+    id_col: str = "id",
+    max_ring: int = 4,
+) -> DataFrame:
+    """Distance-within (DWithin) join: every (query_id, point) pair with
+    haversine distance ≤ ``radius_m``. → (query_id, {id_col}, dist_m).
+
+    Filter-refine with the SAME provable coverage margin as knn_join:
+    the query's hex cell k-ring at radius r covers a geodesic disc of
+    ``r*0.6*width - 2*edge`` meters (gnomonic compression bound), so the
+    coarsest resolution whose required ring count is ≤ ``max_ring`` is
+    picked automatically — candidates come from ONE equi-join on cell
+    ids (broadcast-able when the query side is small; no cross join,
+    no range join), then the exact haversine refine applies. At 100 TB
+    the point side is scanned once and shuffles only on the cell key.
+    """
+    from math import ceil, sqrt
+
+    def rings_needed(res_try: int) -> int:
+        edge = hexgrid.hex_edge_m(res_try)
+        width = edge * sqrt(3.0)
+        return max(1, ceil((radius_m + 2.0 * edge) / (0.6 * width)))
+
+    if res is None:
+        res = 2
+        for res_try in range(9, 1, -1):  # finest first → smallest cells that fit
+            if rings_needed(res_try) <= max_ring:
+                res = res_try
+                break
+    ring = rings_needed(res)
+
+    pts = points.select(
+        F.col(id_col).alias("_p_id"),
+        F.col("lat").alias("_p_lat"),
+        F.col("lon").alias("_p_lon"),
+    ).withColumn("_p_cell", hex_cell_udf(res)(F.col("_p_lat"), F.col("_p_lon")))
+    q = queries.select(
+        "query_id", F.col("lat").alias("_q_lat"), F.col("lon").alias("_q_lon")
+    ).withColumn("_q_cell", hex_cell_udf(res)(F.col("_q_lat"), F.col("_q_lon")))
+    cand = (
+        q.withColumn("_cells", _ring_cells_udf(res, ring)(F.col("_q_cell")))
+        .withColumn("_cell", F.explode(F.array_distinct("_cells")))
+        .drop("_cells")
+        .join(pts, F.col("_cell") == F.col("_p_cell"))
+        .withColumn(
+            DIST_M,
+            haversine_udf(F.col("_q_lat"), F.col("_q_lon"), F.col("_p_lat"), F.col("_p_lon")),
+        )
+        .where(F.col(DIST_M) <= F.lit(float(radius_m)))
+    )
+    return cand.select("query_id", F.col("_p_id").alias(id_col), DIST_M)

@@ -733,6 +733,42 @@ FROM v ORDER BY doc_id
 """
 
 
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-within join (DWithin): all event points within 3 km of 8
+    fixed centers, via the hex-cell prefilter + exact haversine refine;
+    oracle is the exhaustive cross-join filter (refine arithmetic is
+    identical, so the prefilter must only be a correct superset)."""
+    from .operators.knn import range_join
+
+    from .util import small_df
+
+    pts = event_points(spark, sf_dir)
+    centers = small_df(
+        spark,
+        [(i, la, lo) for i, (la, lo) in enumerate(POLYGON)],
+        "query_id int, lat double, lon double",
+    )
+    out = range_join(pts, centers, radius_m=3000.0)
+    return out.select(
+        "query_id", "id", F.round(F.col("dist_m"), 3).alias("dist_m")
+    ).orderBy("query_id", "id")
+
+
+def _range_join_sql() -> str:
+    values = ", ".join(f"({i}, {la}, {lo})" for i, (la, lo) in enumerate(POLYGON))
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+q(query_id, lat, lon) AS (VALUES {values}),
+d AS (
+  SELECT q.query_id, p.id, {_HAVERSINE_SQL} AS dist
+  FROM q CROSS JOIN pts p
+)
+SELECT query_id, id, round(dist, 3) AS dist_m
+FROM d WHERE dist <= 3000.0
+ORDER BY query_id, id
+"""
+
+
 # ---------------------------------------------------------------------------
 # temporal operators over events (sessionization / as-of join) + pyramid
 # ---------------------------------------------------------------------------
@@ -875,6 +911,7 @@ QUERIES = {
     "event_sessions": event_sessions,
     "asof_join_events": asof_join_events,
     "tile_pyramid": tile_pyramid_events,
+    "range_join_events": range_join_events,
 }
 
 ORACLES = {
@@ -902,4 +939,5 @@ ORACLES = {
     "event_sessions": EVENT_SESSIONS_SQL,
     "asof_join_events": ASOF_JOIN_SQL,
     "tile_pyramid": _tile_pyramid_sql(),
+    "range_join_events": _range_join_sql(),
 }

@@ -86,3 +86,11 @@ def test_tile_pyramid_one_pass(spark):
     plan = plan_of(Q.tile_pyramid_events(spark, SF))
     assert plan.count("Scan parquet") == 2  # events scanned exactly once
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_range_join_no_cross_join(spark):
+    """DWithin join must be a cell equi-join + filter — never the
+    cartesian the naive formulation produces."""
+    plan = plan_of(Q.range_join_events(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 2  # events scanned exactly once
