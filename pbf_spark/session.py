@@ -44,6 +44,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
+        # managed (e.g. bucketed) tables land in tmpfs, not the repo tree
+        .config("spark.sql.warehouse.dir", "/dev/shm/pbf-spark-warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # this sandbox's disk shows multi-second IO stalls (loadavg >> with
         # idle CPU); shuffle/spill through tmpfs — a cluster's local SSDs
