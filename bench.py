@@ -52,17 +52,27 @@ def force(df) -> None:
 # stall guard: this host has episodic memory-stall storms that inflate
 # wall times 3-10x for seconds to minutes — best-of-2 does NOT survive a
 # storm spanning both runs (round 3 published a 47 s number for a 6.9 s
-# job). A first-touch bandwidth probe turned out to be useless as a gate
-# (fresh-page faults read ~10-25 MB/s here near-constantly while warm
-# Spark runs are fine), so the gate is the verdict's own reproducibility
-# criterion instead: keep timing until the two FASTEST runs agree within
-# STALL_TOL, bounded by max_attempts. A storm only ever inflates a run,
-# so the reported min is safe; phases that never converged are flagged.
+# job; round 4 published 34.5 s while the warm number was 3.55 s). The
+# round-4 convergence-only gate (two fastest runs within STALL_TOL)
+# failed inside a sustained storm: two storm-slowed runs agree with each
+# other. The guard is now HOST-STATE-AWARE: a warm-memcpy bandwidth
+# probe (the one signal that tracks storms here — first-touch bandwidth
+# is uselessly noisy, warm memcpy reads ~16-18 GB/s healthy vs ~9 in a
+# storm) brackets every timed run; a run whose surrounding probes read
+# below PROBE_FLOOR x the session-best probe is REJECTED outright, and
+# convergence is only evaluated over accepted runs. Every phase's JSON
+# row carries its probe (GB/s) so round-over-round comparisons can be
+# normalized; phases that never got two converging healthy runs are
+# flagged unstable and report their best observed time.
 # ---------------------------------------------------------------------------
 
 STALL_TOL = float(os.environ.get("SPARK_GRAFT_STALL_TOL", "0.25"))
+PROBE_FLOOR = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "0.70"))
 _STALL_RETRIES = 0
 _UNSTABLE_PHASES: list[str] = []
+_PHASE_PROBES: dict[str, float] = {}
+_SESSION_BEST_PROBE = 0.0
+_PROBE_BUF = None
 
 
 def _timed(fn) -> float:
@@ -71,26 +81,68 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
+def _memcpy_probe() -> float:
+    """Warm-memcpy bandwidth in GB/s (0.25 GB pre-faulted buffers, min
+    of 2 copies — ~30 ms healthy). Buffers are allocated once so the
+    probe never measures first-touch page faults."""
+    global _PROBE_BUF, _SESSION_BEST_PROBE
+    import numpy as np
+
+    if _PROBE_BUF is None:
+        a = np.ones(1 << 28, np.uint8)
+        b = np.empty_like(a)
+        np.copyto(b, a)  # fault both
+        _PROBE_BUF = (a, b)
+    a, b = _PROBE_BUF
+    t = min(_timed(lambda: np.copyto(b, a)) for _ in range(2))
+    gbps = 0.25 / t
+    _SESSION_BEST_PROBE = max(_SESSION_BEST_PROBE, gbps)
+    return gbps
+
+
 def best_of(fn, runs: int = 2, max_attempts: int = 5, label: str = "") -> float:
-    """min over timed runs, extended until the two fastest agree within
-    STALL_TOL (storm-polluted runs fail that and trigger a re-run)."""
+    """min over timed runs taken in a HEALTHY host window: each run is
+    bracketed by memcpy probes and rejected if the worse probe reads
+    below PROBE_FLOOR x the session-best; accepted runs must still
+    converge (two fastest within STALL_TOL). The phase's best probe is
+    recorded in _PHASE_PROBES for the JSON output."""
     global _STALL_RETRIES
     fn()  # warmup (session/codegen/python-daemon costs)
-    times: list[float] = []
-    while len(times) < max_attempts:
-        times.append(_timed(fn))
-        if len(times) >= runs:
-            lo, hi = sorted(times)[:2]
+    accepted: list[float] = []
+    all_times: list[float] = []
+    phase_probe = 0.0
+    while len(all_times) < max_attempts:
+        p0 = _memcpy_probe()
+        t = _timed(fn)
+        p1 = _memcpy_probe()
+        run_probe = min(p0, p1)  # worst host state observed around the run
+        phase_probe = max(phase_probe, run_probe)
+        all_times.append(t)
+        if run_probe >= PROBE_FLOOR * _SESSION_BEST_PROBE:
+            accepted.append(t)
+        else:
+            _STALL_RETRIES += 1
+            print(
+                f"[stall-guard] {label or 'phase'}: probe {run_probe:.1f} GB/s vs "
+                f"session best {_SESSION_BEST_PROBE:.1f} — degraded window, "
+                f"rejecting {t:.2f} s run",
+                file=sys.stderr,
+            )
+            continue
+        if len(accepted) >= runs:
+            lo, hi = sorted(accepted)[:2]
             if hi <= lo * (1.0 + STALL_TOL):
+                _PHASE_PROBES[label or "phase"] = round(phase_probe, 2)
                 return lo
             _STALL_RETRIES += 1
             print(
-                f"[stall-guard] {label or 'phase'}: two best runs {lo:.2f}/{hi:.2f} s "
-                f"disagree > {STALL_TOL:.0%}; re-running",
+                f"[stall-guard] {label or 'phase'}: two best healthy runs "
+                f"{lo:.2f}/{hi:.2f} s disagree > {STALL_TOL:.0%}; re-running",
                 file=sys.stderr,
             )
     _UNSTABLE_PHASES.append(label or "phase")
-    return min(times)
+    _PHASE_PROBES[label or "phase"] = round(phase_probe, 2)
+    return min(accepted or all_times)
 
 
 def main() -> None:
@@ -99,6 +151,13 @@ def main() -> None:
     sf = float(Path(sf_dir).name.removeprefix("sf") or 0.1)
 
     manifest = ensure_bench_fixture()
+
+    # seed the session-best probe BEFORE any phase so the first phase's
+    # acceptance test has a reference (if the whole session sits in a
+    # storm the relative gate can't see it — but every phase row carries
+    # its absolute GB/s, so a reader can)
+    for _ in range(3):
+        _memcpy_probe()
 
     from pbf_spark.session import get_spark
 
@@ -255,12 +314,7 @@ def main() -> None:
         F.xxhash64("id").alias("h")
     ).agg(F.min("h"), F.max("h")).collect()
     t_cal = best_of(cal, label="host_calibration")
-    a = np.ones(1 << 28, np.uint8)
-    b = np.empty_like(a)
-    np.copyto(b, a)  # fault both
-    t_cp = min(_timed(lambda: np.copyto(b, a)) for _ in range(3))
-    memcpy_gbps = round(0.25 / t_cp, 2)
-    del a, b
+    memcpy_gbps = round(max(_memcpy_probe(), _memcpy_probe()), 2)
 
     total = round(sum(qtimes.values()), 3)
     print(
@@ -286,6 +340,8 @@ def main() -> None:
                     "cpus": int(cpus),
                     "stall_retries": _STALL_RETRIES,
                     "unstable_phases": _UNSTABLE_PHASES,
+                    "phase_probes_gbps": _PHASE_PROBES,
+                    "session_best_probe_gbps": round(_SESSION_BEST_PROBE, 2),
                     "host_calibration_sec": round(t_cal, 3),
                     "host_memcpy_gbps": memcpy_gbps,
                     **ann1m_stats,

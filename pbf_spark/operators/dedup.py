@@ -145,7 +145,8 @@ def minhash_lsh_pairs(
         # the census + both self-join sides re-derive `stacked` (the
         # whole tokenize→shingle→md5 signature pipeline) without this:
         # persist it once; it is only (id, band, key) rows
-        stacked = stacked.persist()
+        base = stacked.persist()
+        stacked = base
         # refinement hash: one more portable minhash in its own '#r'
         # namespace (independent of the banded signature bits)
         refine = df.withColumn("_t", tokens_col(text_col)).withColumn(
@@ -172,6 +173,13 @@ def minhash_lsh_pairs(
             .select(id_col, "band", "key")
             .persist()  # re-keyed side feeds BOTH halves of the self-join
         )
+        # materialize the re-keyed frame THROUGH the base cache, then
+        # release the base — otherwise the shadowed persist leaks
+        # executor storage across calls (nothing can unpersist it once
+        # the name is rebound). The re-keyed persist itself is released
+        # by the caller's clearCache (or GC of the returned plan).
+        stacked.count()
+        base.unpersist()
     a = stacked.alias("a")
     b = stacked.alias("b")
     cand = (

@@ -104,6 +104,12 @@ def knn_join(
     inherently iterative, so without this the caches would outlive the
     call. Pass eager=False to keep the plan lazy (caller manages caches
     via spark.catalog.clearCache()).
+
+    Scale note: each expansion round issues one driver action
+    (``remaining.isEmpty()``) to decide whether to widen the ring, so
+    the driver round-trips are bounded by ``max_rounds`` (default 3,
+    plus one brute-force fallback job for stragglers) — constant in the
+    data size; only the per-round candidate join scales with the data.
     """
     pts = points.select(
         F.col(id_col).alias("_p_id"),
@@ -208,8 +214,10 @@ def range_join(
     Filter-refine with the SAME provable coverage margin as knn_join:
     the query's hex cell k-ring at radius r covers a geodesic disc of
     ``r*0.6*width - 2*edge`` meters (gnomonic compression bound), so the
-    coarsest resolution whose required ring count is ≤ ``max_ring`` is
-    picked automatically — candidates come from ONE equi-join on cell
+    FINEST resolution whose required ring count is ≤ ``max_ring`` is
+    picked automatically (smallest cells that still cover the radius
+    within the ring budget → fewest false-positive candidates) —
+    candidates come from ONE equi-join on cell
     ids (broadcast-able when the query side is small; no cross join,
     no range join), then the exact haversine refine applies. At 100 TB
     the point side is scanned once and shuffles only on the cell key.

@@ -205,8 +205,31 @@ def write_pbf(entities: DataFrame, path: str | Path, codec: str = "zlib") -> dic
     # spec (osm.proto:232): a file whose ways carry inline locations MUST
     # declare the optional feature
     way_locs = "way_lats" in entities.columns and (
-        entities.where("entity_type='way' AND way_lats IS NOT NULL").limit(1).count() > 0
+        entities.where(
+            "entity_type='way' AND way_lats IS NOT NULL AND size(way_lats) > 0"
+        ).limit(1).count() > 0
     )
+    if way_locs:
+        # LocationsOnWays is all-or-nothing per file: the decoder (and
+        # the spec) require lat/lon counts to match refs on EVERY way,
+        # so mixed presence (e.g. assemble_way_geometries(how='left')
+        # output, or a union of sources with and without locations)
+        # would silently write a file our own _decode_ways rejects.
+        # Validate eagerly with a clear error instead.
+        bad = entities.where(
+            "entity_type='way' AND size(refs) > 0 AND ("
+            " way_lats IS NULL OR way_lons IS NULL"
+            " OR size(way_lats) <> size(refs)"
+            " OR size(way_lons) <> size(refs))"
+        ).count()
+        if bad:
+            raise ValueError(
+                f"LocationsOnWays presence is mixed: {bad} way(s) with refs lack "
+                "full-length way_lats/way_lons while others carry them. Either "
+                "supply locations for every way (assemble_way_geometries(how="
+                "'inner')) or drop the way_lats/way_lons columns to write the "
+                "file without LocationsOnWays."
+            )
     header = Header(
         bbox_nano=(bbox["left"], bbox["right"], bbox["top"], bbox["bottom"])
         if bbox["left"] is not None

@@ -221,32 +221,39 @@ def stream_user_sessions(
         rows = rows.sort_values("ts")
         ts_us = rows["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         vals = rows["value"].to_numpy()
+        # Exact batch semantics via interval merge: every batch row is a
+        # point atom, the stored open session is an interval atom; sort
+        # by start and merge chains whose gap ≤ gap_us. This handles
+        # cross-batch out-of-order rows CORRECTLY in both directions
+        # (possible whenever the watermark > 0): a late row within gap
+        # of the open session — or chained to it through other batch
+        # rows — extends it backward, while a late cluster beyond one
+        # gap forms and emits its own earlier session(s) instead of
+        # being absorbed (which is what the batch sessionizer produces).
+        # All merged sessions except the last are followed by an
+        # in-batch event more than gap later, so they are closed; the
+        # last stays open in state. Residual divergence from the batch
+        # twin (documented): a session emitted here cannot be extended
+        # by a yet-later arrival in a future batch — append-mode state
+        # emission is one-shot.
+        atoms = [(int(t), int(t), 1, float(v)) for t, v in zip(ts_us, vals)]
         if state.exists:
-            start_us, last_us, n, sv = state.get
-        else:
-            start_us, last_us, n, sv = int(ts_us[0]), int(ts_us[0]) - 1, 0, 0.0
-        for t, v in zip(ts_us, vals):
-            t = int(t)
-            if n > 0 and t - last_us > gap_us:
-                yield _session_row(key[0], start_us, last_us, n, sv)
-                start_us, n, sv = t, 0, 0.0
-            elif n == 0:
-                start_us = t
+            atoms.append(tuple(state.get))
+            atoms.sort(key=lambda a: (a[0], a[1]))
+        cur = list(atoms[0])
+        for a in atoms[1:]:
+            if a[0] - cur[1] > gap_us:
+                yield _session_row(key[0], cur[0], cur[1], cur[2], cur[3])
+                cur = list(a)
             else:
-                # cross-batch out-of-order rows (possible whenever the
-                # watermark > 0: rows above the watermark but older than
-                # the stored last_us still reach this function) must not
-                # REGRESS the session window — the gap split and the
-                # event-time timeout stay keyed on the true session end
-                start_us = min(start_us, t)
-            last_us = max(last_us, t)
-            n += 1
-            sv += float(v)
-        state.update((start_us, last_us, n, sv))
+                cur[1] = max(cur[1], a[1])
+                cur[2] += a[2]
+                cur[3] += a[3]
+        state.update((cur[0], cur[1], cur[2], cur[3]))
         # EventTimeTimeout requires a timestamp beyond the current
         # watermark; clamp for sessions whose events arrived late
         state.setTimeoutTimestamp(
-            max((last_us + gap_us) // 1000, state.getCurrentWatermarkMs() + 1)
+            max((cur[1] + gap_us) // 1000, state.getCurrentWatermarkMs() + 1)
         )
 
     def _session_row(uid, start_us, last_us, n, sv):

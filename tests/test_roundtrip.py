@@ -141,3 +141,47 @@ def test_roundtrip_locations_on_ways_file(spark, tmp_path_factory):
     out2 = tmp_path_factory.mktemp("rtlow") / "plain.osm.pbf"
     pbf_sink.write_pbf(decode.decode_blobs(blob_df), out2)
     assert "LocationsOnWays" not in pbf_file.load_header(out2).optional_features
+
+
+def test_write_pbf_rejects_mixed_locations_on_ways(spark, tmp_path_factory):
+    """LocationsOnWays is all-or-nothing per file (ADVICE r4): mixed
+    presence would write a file our own decoder rejects, so write_pbf
+    must fail eagerly with a clear error."""
+    from pbf_spark.model.schema import MEDIA_BLOB_SCHEMA
+    from pbf_spark.util import small_df
+    from pbf_spark.wire.osmformat import (
+        StringTable,
+        build_dense_nodes_group,
+        build_primitive_block,
+        build_ways_group,
+    )
+    import numpy as np
+
+    st = StringTable()
+    st.add("")
+    table, sid = st.build()
+    lats = [51_500_000_000, 51_500_001_000]
+    lons = [-100_000_000, -99_999_000]
+    nodes_g = build_dense_nodes_group(
+        np.array([10, 25]), np.array(lats, np.int64), np.array(lons, np.int64), None, sid
+    )
+    with_locs = build_primitive_block(
+        [build_ways_group([dict(id=7, refs=[10, 25], lat_nanos=lats, lon_nanos=lons)], sid)],
+        table,
+    )
+    without_locs = build_primitive_block(
+        [build_ways_group([dict(id=8, refs=[25, 10])], sid)], table
+    )
+    nodes_blk = build_primitive_block([nodes_g], table)
+    blob_df = small_df(
+        spark,
+        [
+            ("m0", 0, "OSMData", "raw", len(nodes_blk), bytearray(nodes_blk)),
+            ("m1", 1, "OSMData", "raw", len(with_locs), bytearray(with_locs)),
+            ("m2", 2, "OSMData", "raw", len(without_locs), bytearray(without_locs)),
+        ],
+        MEDIA_BLOB_SCHEMA,
+    )
+    ents = decode.decode_blobs(blob_df, way_locations=True)
+    with pytest.raises(ValueError, match="LocationsOnWays presence is mixed"):
+        pbf_sink.write_pbf(ents, tmp_path_factory.mktemp("rtmix") / "mixed.osm.pbf")

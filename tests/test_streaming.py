@@ -271,6 +271,64 @@ def test_stream_user_sessions_out_of_order_across_batches(spark, tmp_path_factor
     assert (1, 20, 30, 3, 7.0) in rows
 
 
+def test_stream_user_sessions_late_cluster_splits(spark, tmp_path_factory):
+    """A cross-batch late CLUSTER more than one gap before the open
+    session must form (and emit) its own earlier session — the batch
+    sessionizer would never merge it — while a late row chained to the
+    open session through other rows extends it backward (ADVICE r4)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pbf_spark.streaming.pipeline import stream_user_sessions
+
+    tmp = tmp_path_factory.mktemp("sessions_late")
+    events, out, ckpt = tmp / "events", tmp / "sess", tmp / "ckpt"
+    events.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(events / name)
+
+    kw = dict(gap="30 minutes", watermark="4 hours")
+    # batch 1: open session [3:00, 3:10]
+    write("a.parquet", [
+        (1, t0 + 180 * m, 1, "c", 1.0, ""),
+        (2, t0 + 190 * m, 1, "c", 2.0, ""),
+    ])
+    stream_user_sessions(spark, events, out, ckpt, **kw)
+    # batch 2 (all above the 4h watermark): 0:00/0:05 are > gap before
+    # the open session -> separate emitted session; 2:40 is within gap
+    # of 3:00 -> extends the open session backward
+    write("b.parquet", [
+        (3, t0 + 0 * m, 1, "c", 4.0, ""),
+        (4, t0 + 5 * m, 1, "c", 8.0, ""),
+        (5, t0 + 160 * m, 1, "c", 16.0, ""),
+    ])
+    stream_user_sessions(spark, events, out, ckpt, **kw)
+    # batch 3: advance the watermark past 3:10 + gap -> open session
+    # times out
+    write("c.parquet", [(6, t0 + 600 * m, 9, "c", 1.0, "")])
+    stream_user_sessions(spark, events, out, ckpt, **kw)
+
+    user1 = {
+        (r["session_start"].hour, r["session_start"].minute,
+         r["session_end"].hour, r["session_end"].minute,
+         r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(str(out)).collect()
+        if r["user_id"] == 1
+    }
+    assert user1 == {
+        (0, 0, 0, 5, 2, 12.0),      # late cluster: its own session
+        (2, 40, 3, 10, 3, 19.0),    # open session extended back to 2:40
+    }
+
+
 def test_duration_parsing():
     from pbf_spark.streaming.pipeline import _duration_us
 
