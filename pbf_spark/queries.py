@@ -352,6 +352,75 @@ def pip_events_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id")
     )
 
+def pip_relation_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join against a multipolygon ASSEMBLED FROM AN OSM RELATION
+    (operators/relations.py): the star/square/hole shape is rebuilt from
+    member ways — a three-way outer chain with a reversed segment, a
+    role='' single closed way, a two-way inner hole needing a reversal,
+    an unclosed chain that must be dropped, and a missing-way member —
+    then fed through the same covering-prefilter + ray-cast path. The
+    oracle ray-casts the expected rings directly, so any stitching error
+    (role mix-up, missed reversal, leaked unclosed ring) changes the
+    contained-point set and breaks the hash."""
+    from .operators.relations import assemble_multipolygons
+    from .util import small_df
+
+    unclosed = [(51.40, -0.45), (51.45, -0.45), (51.45, -0.40)]
+    nodes = []
+    for base, ring in (
+        (100, POLYGON),
+        (200, POLYGON_OUTER2),
+        (300, POLYGON_HOLE),
+        (400, unclosed),
+    ):
+        nodes += [(base + i, la, lo) for i, (la, lo) in enumerate(ring)]
+    nodes_df = small_df(spark, nodes, "id long, lat double, lon double")
+    ways_df = small_df(
+        spark,
+        [
+            (1, [100, 101, 102]),
+            (2, [105, 104, 103, 102]),       # stored reversed
+            (3, [105, 106, 107, 100]),
+            (4, [200, 201, 202, 203, 200]),  # single closed way
+            (5, [300, 301, 302]),
+            (6, [300, 303, 302]),            # needs reversal
+            (7, [400, 401]),
+            (8, [401, 402]),                 # unclosed
+        ],
+        "id long, refs array<long>",
+    )
+    members = [
+        (1, "way", "outer"),
+        (2, "way", ""),
+        (3, "way", "outer"),
+        (4, "way", ""),
+        (7, "way", "outer"),
+        (8, "way", "outer"),
+        (99, "way", "outer"),
+        (100, "node", "admin_centre"),
+        (5, "way", "inner"),
+        (6, "way", "inner"),
+    ]
+    rel_df = small_df(
+        spark,
+        [(9, members)],
+        "id long, members array<struct<ref:long,type:string,role:string>>",
+    )
+    polys = assemble_multipolygons(rel_df, ways_df, nodes_df).select("polygon_id", "rings")
+
+    from .operators.spatial import point_in_polygon_join
+
+    pts = event_points(spark, sf_dir)
+    return (
+        point_in_polygon_join(pts, polys, keep_polygon_cols=())
+        .select(F.col("id").alias("id"), F.col("polygon_id").alias("polygon_id"))
+        .orderBy("id")
+    )
+
+
+PIP_RELATION_SQL = _pip_sql([POLYGON, POLYGON_OUTER2, POLYGON_HOLE], "rel_9")
+
+
 _HAVERSINE_SQL = (
     "2 * 6371008.8 * asin(sqrt(least(greatest("
     "pow(sin((radians(p.lat) - radians(q.lat)) / 2), 2) + "
@@ -895,6 +964,7 @@ QUERIES = {
     "pip_events": pip_events,
     "pip_events_holes": pip_events_holes,
     "pip_events_multipolygon": pip_events_multipolygon,
+    "pip_relation_polygons": pip_relation_polygons,
     "knn_events": knn_events,
     "s2_cell_counts": s2_cell_counts,
     "hex_cell_counts": hex_cell_counts,
@@ -923,6 +993,7 @@ ORACLES = {
     "pip_events": PIP_SQL,
     "pip_events_holes": PIP_HOLES_SQL,
     "pip_events_multipolygon": PIP_MULTI_SQL,
+    "pip_relation_polygons": PIP_RELATION_SQL,
     "knn_events": KNN_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
     "doc_quality": QUALITY_SQL,
