@@ -177,6 +177,8 @@ def main() -> None:
         spark.catalog.clearCache()
 
     # engine pipeline benches on the cached fixture
+    from pyspark.sql import functions as F
+
     from pbf_spark.operators import decode, spatial, tiles
     from pbf_spark.sources import iceberg_lite
 
@@ -210,13 +212,48 @@ def main() -> None:
 
     t_tiles = best_of(lambda: force(tiles.materialize_tiles(nodes, tile_level=10, raster_bits=5)), label="engine_tiles")
     qtimes["engine_tiles"] = round(t_tiles, 3)
+
+    # way-geometry assembly: THE shuffle-heavy OSM operator (459k ways ×
+    # 2.73M nodes on this fixture). Shuffled baseline vs the co-located
+    # variant with both sides bucketed by the node-id key (the plan is
+    # proven Exchange-free on the join in tests/test_bucketing.py; here
+    # we measure what that buys at fixture scale). Bucketed-table write
+    # time is amortized storage-layout cost, not join cost — excluded.
+    from pbf_spark.operators import ways as ways_ops
+
+    ways_df = (
+        decode.decode_documents(docs, blobs, columns=frozenset({"refs"}), kinds=("way",), slim=True)
+        .select("id", "refs")
+        .cache()
+    )
+    n_ways = ways_df.count()
+    t_ways = best_of(
+        lambda: force(ways_ops.assemble_way_geometries(ways_df, nodes)),
+        label="engine_way_assembly",
+    )
+    qtimes["engine_way_assembly"] = round(t_ways, 3)
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    import shutil
+
+    for name in ("bench_refs", "bench_nodes"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"/dev/shm/pbf-spark-warehouse/{name}", ignore_errors=True)
+    ways_df.select(
+        F.col("id").alias("way_id"), F.posexplode("refs").alias("pos", "ref")
+    ).write.bucketBy(32, "ref").sortBy("ref").mode("overwrite").saveAsTable("bench_refs")
+    nodes.write.bucketBy(32, "id").sortBy("id").mode("overwrite").saveAsTable("bench_nodes")
+    b_refs, b_nodes = spark.table("bench_refs"), spark.table("bench_nodes")
+    t_ways_b = best_of(
+        lambda: force(ways_ops.assemble_way_geometries_from_refs(b_refs, b_nodes)),
+        label="engine_way_assembly_bucketed",
+    )
+    qtimes["engine_way_assembly_bucketed"] = round(t_ways_b, 3)
     spark.catalog.clearCache()
 
     # dedup/ANN throughput at real scale (the driver documents/embeddings
     # tables are 500 rows — correctness-only); synthetic corpora are pure
     # codegen expressions with planted duplicates (fixtures/synth.py)
-    from pyspark.sql import functions as F
-
     from pbf_spark.fixtures.synth import synth_docs, synth_embeddings
     from pbf_spark.operators import dedup as dedup_ops
     from pbf_spark.operators import simsearch
@@ -330,6 +367,9 @@ def main() -> None:
                     "decode_entities_per_sec": round(manifest["total_entities"] / t_decode),
                     "pip_join_rows": n_join_rows,
                     "pip_join_rows_per_sec": round(n_join_rows / t_join),
+                    "way_assembly_ways": n_ways,
+                    "way_assembly_ways_per_sec": round(n_ways / t_ways),
+                    "way_assembly_bucketed_ways_per_sec": round(n_ways / t_ways_b),
                     "lsh_dedup_docs": n_docs,
                     "lsh_dedup_pairs": n_lsh_pairs,
                     "lsh_dedup_docs_per_sec": round(n_docs / t_lsh),

@@ -40,6 +40,23 @@ def assemble_way_geometries(
     refs = ways.select(
         F.col("id").alias("way_id"), F.posexplode("refs").alias("pos", "ref")
     )
+    return assemble_way_geometries_from_refs(refs, nodes, how)
+
+
+def assemble_way_geometries_from_refs(
+    refs: DataFrame,
+    nodes: DataFrame,
+    how: str = "inner",
+) -> DataFrame:
+    """Same as :func:`assemble_way_geometries` but over a PRE-EXPLODED
+    refs table (way_id, pos, ref) — the storage layout that makes the
+    big join co-located at cluster scale: write both ``refs`` and
+    ``nodes`` bucketed (+sorted) by the node-id key and the bucket-aware
+    scans feed the sort-merge join with NO Exchange on either fact side
+    (contract: tests/test_bucketing.py); the only remaining shuffle is
+    the unavoidable reassembly groupBy on way_id."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
     n = nodes.select(
         F.col("id").alias("ref"), F.col("lat").alias("_nlat"), F.col("lon").alias("_nlon")
     )

@@ -184,28 +184,18 @@ _SESSION_OUT = (
 _SESSION_STATE = "start_us long, last_us long, n long, sum_value double"
 
 
-def stream_user_sessions(
-    spark: SparkSession,
-    events_dir: str | Path,
+def _run_session_query(
+    stream,
+    gap: str,
+    watermark: str,
     output_dir: str | Path,
     checkpoint_dir: str | Path,
-    gap: str = "30 minutes",
-    watermark: str = "0 seconds",
-    schema=None,
 ):
-    """Custom stateful sessionization via ``applyInPandasWithState``.
-
-    Groups the event stream by user and maintains one open session per
-    user in explicit state: events closer than ``gap`` extend the
-    session, a larger gap (or an event-time timeout once the watermark
-    passes last_event + gap) closes it and emits (user_id,
-    session_start, session_end, n_events, sum_value). This is the
-    operator shape Spark's built-in windows can't express when the
-    emission rule is custom — per-key state + event-time timeouts keep
-    state bounded by active users, not history, at stream scale.
-    Resumable: state and watermark live in the checkpoint, so
-    consecutive availableNow runs continue sessions across restarts.
-    """
+    """Shared stateful-sessionization tail: ``stream`` must carry
+    (user_id, ts timestamp, value double). Watermarks, groups by user,
+    applies the interval-merge session state function, writes append-
+    mode parquet with one checkpoint covering the whole upstream plan
+    (file source offsets + state store)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -221,21 +211,9 @@ def stream_user_sessions(
         rows = rows.sort_values("ts")
         ts_us = rows["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         vals = rows["value"].to_numpy()
-        # Exact batch semantics via interval merge: every batch row is a
-        # point atom, the stored open session is an interval atom; sort
-        # by start and merge chains whose gap ≤ gap_us. This handles
-        # cross-batch out-of-order rows CORRECTLY in both directions
-        # (possible whenever the watermark > 0): a late row within gap
-        # of the open session — or chained to it through other batch
-        # rows — extends it backward, while a late cluster beyond one
-        # gap forms and emits its own earlier session(s) instead of
-        # being absorbed (which is what the batch sessionizer produces).
-        # All merged sessions except the last are followed by an
-        # in-batch event more than gap later, so they are closed; the
-        # last stays open in state. Residual divergence from the batch
-        # twin (documented): a session emitted here cannot be extended
-        # by a yet-later arrival in a future batch — append-mode state
-        # emission is one-shot.
+        # Exact batch semantics via interval merge — see
+        # stream_user_sessions docstring for the semantics and the one
+        # documented divergence (emitted sessions are one-shot).
         atoms = [(int(t), int(t), 1, float(v)) for t, v in zip(ts_us, vals)]
         if state.exists:
             atoms.append(tuple(state.get))
@@ -267,13 +245,6 @@ def stream_user_sessions(
             }
         )
 
-    if schema is None:
-        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("recursiveFileLookup", "true")
-        .parquet(str(events_dir))
-    )
     sessions = (
         stream.withWatermark("ts", watermark)
         .groupBy("user_id")
@@ -291,6 +262,86 @@ def stream_user_sessions(
     )
     query.awaitTermination()
     return query
+
+
+def stream_decode_user_sessions(
+    spark: SparkSession,
+    docs_table_dir: str | Path,
+    media_blobs,
+    output_dir: str | Path,
+    checkpoint_dir: str | Path,
+    gap: str = "7 days",
+    watermark: str = "0 seconds",
+):
+    """COMPOSED pipeline #2 (round-5): document file stream → mapInArrow
+    PBF decode → per-UPLOADER stateful sessionization
+    (applyInPandasWithState over info.uid/info.ts) in ONE checkpointed
+    streaming query — "edit sessions" per OSM user. The single
+    checkpoint covers the file-source offsets AND the session state
+    store, so killing/restarting anywhere resumes exactly-once: a
+    session in progress at the kill point continues from state, and no
+    closed session re-emits. This is the composition the round-4
+    pipeline lacked (P5 composed decode with a *windowed agg*; the
+    custom-state operator only ran on pre-decoded events)."""
+    from pyspark.sql import functions as F
+
+    docs_stream = (
+        spark.readStream.schema(DOCUMENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(Path(docs_table_dir) / "data"))
+    )
+    entities = decode_documents(docs_stream, media_blobs, partitions=0)
+    edits = (
+        entities.where(F.col("info.ts").isNotNull() & F.col("info.uid").isNotNull())
+        .select(
+            F.col("info.uid").cast("long").alias("user_id"),
+            F.col("info.ts").alias("ts"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    return _run_session_query(edits, gap, watermark, output_dir, checkpoint_dir)
+
+
+def stream_user_sessions(
+    spark: SparkSession,
+    events_dir: str | Path,
+    output_dir: str | Path,
+    checkpoint_dir: str | Path,
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+    schema=None,
+):
+    """Custom stateful sessionization via ``applyInPandasWithState``.
+
+    Groups the event stream by user and maintains one open session per
+    user in explicit state: events closer than ``gap`` extend the
+    session, a larger gap (or an event-time timeout once the watermark
+    passes last_event + gap) closes it and emits (user_id,
+    session_start, session_end, n_events, sum_value). This is the
+    operator shape Spark's built-in windows can't express when the
+    emission rule is custom — per-key state + event-time timeouts keep
+    state bounded by active users, not history, at stream scale.
+    Resumable: state and watermark live in the checkpoint, so
+    consecutive availableNow runs continue sessions across restarts.
+
+    Semantics (exact batch parity via interval merge in the state
+    function): every batch row is a point atom, the stored open session
+    an interval atom; sorted atoms merge when their gap ≤ ``gap``. A
+    cross-batch late row within gap of the open session — or chained to
+    it through other batch rows — extends it backward; a late cluster
+    beyond one gap forms and emits its own earlier session(s), exactly
+    as the batch sessionizer would. One documented divergence: an
+    already-emitted session cannot be extended by a yet-later arrival in
+    a future batch — append-mode state emission is one-shot.
+    """
+    if schema is None:
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(events_dir))
+    )
+    return _run_session_query(stream, gap, watermark, output_dir, checkpoint_dir)
 
 
 _DURATION_MULT_US = {

@@ -30,6 +30,7 @@ import pyarrow as pa
 
 from .proto import WT_I32, WT_I64, WT_LEN, WT_VARINT, MessageBuilder, parse_message, scan_fields
 from .varint import (
+    decode_varint,
     decode_varints,
     encode_varints,
     zigzag_decode,
@@ -143,15 +144,67 @@ class BlockSoA:
 def _decode_string_table(buf: memoryview) -> "pa.Array":
     """String table → Arrow StringArray built from raw offsets + one
     data buffer: no per-string bytes().decode() round trip (that Python
-    loop was ~25% of parse time). validate(full=True) keeps the utf-8
+    loop was ~25% of parse time). The entry chain is walked by a
+    SPECIALIZED tight loop (~6 bytecode ops per string vs ~20 through
+    the generic generator — entries here are the most numerous of any
+    message: ~2000/block). validate(full=True) keeps the utf-8
     rejection behavior of str.decode at C speed."""
-    views = [v for f, _wt, v in scan_fields(buf) if f == 1]
-    if not views:
+    data = bytes(buf)
+    m = len(data)
+    pos = 0
+    starts: list[int] = []
+    lens: list[int] = []
+    ap_s, ap_l = starts.append, lens.append
+    while pos < m:
+        key = data[pos]
+        pos += 1
+        if key == 0x0A:  # field 1, LEN — the entire table in practice
+            ln = data[pos]
+            pos += 1
+            if ln >= 0x80:
+                ln &= 0x7F
+                shift = 7
+                while True:
+                    c = data[pos]
+                    pos += 1
+                    ln |= (c & 0x7F) << shift
+                    if c < 0x80:
+                        break
+                    shift += 7
+            ap_s(pos)
+            ap_l(ln)
+            pos += ln
+        else:  # forward-compat: any other field skips generically
+            key_full = key
+            if key >= 0x80:
+                key_full, pos = decode_varint(data, pos - 1)
+            f, wt = key_full >> 3, key_full & 7
+            if wt == WT_VARINT:
+                _, pos = decode_varint(data, pos)
+            elif wt == WT_LEN:
+                ln, pos = decode_varint(data, pos)
+                if f == 1:
+                    ap_s(pos)
+                    ap_l(ln)
+                pos += ln
+            elif wt == WT_I64:
+                pos += 8
+            elif wt == WT_I32:
+                pos += 4
+            else:
+                raise ValueError(f"unsupported wire type {wt}")
+    if not starts:
         return pa.array([""], pa.string())
-    offsets = np.zeros(len(views) + 1, dtype=np.int32)
-    np.cumsum([len(v) for v in views], out=offsets[1:])
+    seg = np.frombuffer(buf, dtype=np.uint8)
+    s_arr = np.array(starts, dtype=np.int64)
+    l_arr = np.array(lens, dtype=np.int64)
+    offsets = np.zeros(s_arr.size + 1, dtype=np.int32)
+    np.cumsum(l_arr, out=offsets[1:])
+    total = int(offsets[-1])
+    rel = np.cumsum(l_arr) - l_arr
+    data_buf = seg[np.repeat(s_arr - rel, l_arr) + np.arange(total, dtype=np.int64)]
     arr = pa.StringArray.from_buffers(
-        len(views), pa.py_buffer(offsets.tobytes()), pa.py_buffer(b"".join(views))
+        s_arr.size, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data_buf.tobytes())
     )
     arr.validate(full=True)
     return arr
@@ -276,126 +329,215 @@ def _decode_plain_nodes(bufs: list[memoryview], date_granularity: int) -> Entity
     return soa
 
 
-def _decode_info_batch(msgs: list[tuple[int, memoryview]], n: int, date_granularity: int) -> InfoSoA:
-    """Vectorized-ish Info decode: one structural scan over all Info
-    submessages of a group instead of per-entity field handling."""
-    idxs = np.array([i for i, _ in msgs], dtype=np.int64)
-    bufs = [mv for _, mv in msgs]
-    varints, _pc, _po, _mv, present = _scan_length_delimited(
-        bufs, packed_fields=(), varint_fields=(1, 2, 3, 4, 5, 6), msg_fields=()
+def _decode_info_batch_spans(
+    b: np.ndarray,
+    owners: np.ndarray,
+    starts: np.ndarray,
+    lens: np.ndarray,
+    n: int,
+    date_granularity: int,
+) -> InfoSoA:
+    """Vectorized Info decode over the submessage SPANS the wavefront
+    scan collected: one more wavefront pass over all Info submessages of
+    a group instead of per-entity field handling."""
+    varints, present, _spans = _scan_spans_vec(
+        b, starts, starts + lens, packed_fields=(), varint_fields=(1, 2, 3, 4, 5, 6), msg_fields=()
     )
     info = InfoSoA.empty(n)
     ver = varints[1].astype(np.int32)
     ver[~present[1]] = -1
-    info.version[idxs] = ver
-    info.ts_ms[idxs] = varints[2] * date_granularity
-    info.has_ts[idxs] = present[2]
-    info.changeset[idxs] = varints[3]
-    info.has_changeset[idxs] = True
-    info.uid[idxs] = varints[4].astype(np.int32)
-    info.has_uid[idxs] = present[4]
-    info.user_sid[idxs] = varints[5]
-    vis = np.ones(len(bufs), dtype=bool)
+    info.version[owners] = ver
+    info.ts_ms[owners] = varints[2] * date_granularity
+    info.has_ts[owners] = present[2]
+    info.changeset[owners] = varints[3]
+    info.has_changeset[owners] = True
+    info.uid[owners] = varints[4].astype(np.int32)
+    info.has_uid[owners] = present[4]
+    info.user_sid[owners] = varints[5]
+    vis = np.ones(owners.size, dtype=bool)
     vis[present[6]] = varints[6][present[6]] != 0
-    info.visible[idxs] = vis
-    info.has_info[idxs] = True
+    info.visible[owners] = vis
+    info.has_info[owners] = True
     return info
 
 
-def _scan_length_delimited(bufs: list[memoryview], packed_fields: tuple[int, ...], varint_fields: tuple[int, ...], msg_fields: tuple[int, ...]):
-    """Tight structural scan over many small messages.
+def _concat_bufs(bufs: list[memoryview]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Many small message views → (one uint8 array, starts, ends)."""
+    lens = np.fromiter((len(m) for m in bufs), dtype=np.int64, count=len(bufs))
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    b = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    return b, starts, ends
 
-    Returns (varint_vals, packed_spans, msg_views) where packed payload
-    *bytes* are collected per field (decoded later in ONE vectorized
-    pass — this is what makes way decode ~50x faster than a per-message
-    numpy loop). varint decode is inlined to dodge call overhead.
+
+def _gather_varints(b: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Decode one varint per (start, end-terminator) position pair —
+    vectorized over all positions; ≤10 numpy passes (max varint width)."""
+    lens = ends - starts + 1
+    width = int(lens.max()) if lens.size else 0
+    if width > 10:
+        raise ValueError("varint longer than 10 bytes")
+    vals = np.zeros(starts.size, dtype=np.uint64)
+    for k in range(width):
+        m = lens > k
+        vals[m] |= (b[starts[m] + k] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * k)
+    return vals
+
+
+def _scan_spans_vec(
+    b: np.ndarray,
+    msg_starts: np.ndarray,
+    msg_ends: np.ndarray,
+    packed_fields: tuple[int, ...],
+    varint_fields: tuple[int, ...],
+    msg_fields: tuple[int, ...],
+):
+    """Vectorized structural scan over many small messages ("wavefront"):
+    instead of a per-byte Python loop (the round-4 profile's dominant
+    term at 8 s/3.2M entities), all messages advance one FIELD per
+    iteration with numpy gathers — ~8 passes for a ways group instead of
+    millions of interpreter steps.
+
+    Key invariant making this sound: the global terminator index
+    (bytes with the continuation bit clear) is only ever queried at
+    TRUE varint start positions, where the varint's own continuation
+    bits determine its end — bytes inside length-delimited payloads are
+    never used as scan anchors, so their pseudo-terminators are inert.
+
+    Returns (varint_vals, presence, spans) where spans[f] =
+    (owners, starts, lens) arrays sorted by (owner, start) — payload
+    bytes stay IN PLACE in ``b`` and are gathered once downstream
+    (_packed_spans), never copied per message. Field keys are decoded
+    as full varints, so spec-legal unknown high-numbered fields skip
+    correctly (proto2 forward compat).
     """
-    varint_vals = {f: np.zeros(len(bufs), dtype=np.int64) for f in varint_fields}
-    presence = {f: np.zeros(len(bufs), dtype=bool) for f in varint_fields}
-    packed_chunks: dict[int, list[bytes]] = {f: [] for f in packed_fields}
-    packed_owner: dict[int, list[int]] = {f: [] for f in packed_fields}
-    msg_views: dict[int, list[tuple[int, memoryview]]] = {f: [] for f in msg_fields}
-    for i, mv in enumerate(bufs):
-        pos = 0
-        end = len(mv)
-        while pos < end:
-            key = 0
-            shift = 0
-            while True:  # inline varint
-                b = mv[pos]
-                pos += 1
-                key |= (b & 0x7F) << shift
-                if not b & 0x80:
-                    break
-                shift += 7
-            f = key >> 3
-            wt = key & 7
-            if wt == WT_VARINT:
-                val = 0
-                shift = 0
-                while True:
-                    b = mv[pos]
-                    pos += 1
-                    val |= (b & 0x7F) << shift
-                    if not b & 0x80:
-                        break
-                    shift += 7
-                if f in varint_vals:
-                    varint_vals[f][i] = val if val < 2**63 else val - 2**64
-                    presence[f][i] = True
-            elif wt == WT_LEN:
-                ln = 0
-                shift = 0
-                while True:
-                    b = mv[pos]
-                    pos += 1
-                    ln |= (b & 0x7F) << shift
-                    if not b & 0x80:
-                        break
-                    shift += 7
-                if f in packed_chunks:
-                    packed_chunks[f].append(bytes(mv[pos : pos + ln]))
-                    packed_owner[f].append(i)
-                elif f in msg_views:
-                    msg_views[f].append((i, mv[pos : pos + ln]))
-                pos += ln
-            elif wt == WT_I64:
-                pos += 8
-            elif wt == WT_I32:
-                pos += 4
-            else:
-                raise ValueError(f"unsupported wire type {wt}")
-    return varint_vals, packed_chunks, packed_owner, msg_views, presence
+    n = msg_starts.size
+    varint_vals = {f: np.zeros(n, dtype=np.int64) for f in varint_fields}
+    presence = {f: np.zeros(n, dtype=bool) for f in varint_fields}
+    acc: dict[int, tuple[list, list, list]] = {
+        f: ([], [], []) for f in (*packed_fields, *msg_fields)
+    }
+    empty = (np.empty(0, np.int64),) * 3
+    if n == 0 or b.size == 0:
+        return varint_vals, presence, {f: empty for f in acc}
+
+    term_idx = np.flatnonzero((b & 0x80) == 0)  # candidate varint terminators
+
+    def _varint_ends(p: np.ndarray) -> np.ndarray:
+        loc = np.searchsorted(term_idx, p)
+        if loc.size and loc.max() >= term_idx.size:
+            raise ValueError("truncated varint run")
+        return term_idx[loc]
+
+    pos = msg_starts.astype(np.int64, copy=True)
+    end = np.asarray(msg_ends, dtype=np.int64)
+    active = np.flatnonzero(pos < end)
+    while active.size:
+        p = pos[active]
+        # field key is itself a varint (multi-byte for field number > 15
+        # — unknown high-numbered fields are spec-legal and must skip)
+        ke = _varint_ends(p)
+        key = _gather_varints(b, p, ke)
+        f = (key >> np.uint64(3)).astype(np.int64)
+        wt = (key & np.uint64(7)).astype(np.uint8)
+        p1 = ke + 1
+        new_pos = np.empty(active.size, dtype=np.int64)
+        m0 = wt == WT_VARINT
+        if m0.any():
+            vp = p1[m0]
+            ve = _varint_ends(vp)
+            vals = _gather_varints(b, vp, ve).view(np.int64)
+            fv = f[m0]
+            rows0 = active[m0]
+            for fld in varint_fields:
+                mf = fv == fld
+                if mf.any():
+                    varint_vals[fld][rows0[mf]] = vals[mf]
+                    presence[fld][rows0[mf]] = True
+            new_pos[m0] = ve + 1
+        m2 = wt == WT_LEN
+        if m2.any():
+            lp = p1[m2]
+            le = _varint_ends(lp)
+            lns = _gather_varints(b, lp, le).astype(np.int64)
+            ps = le + 1
+            fl = f[m2]
+            rows2 = active[m2]
+            for fld in acc:
+                mf = fl == fld
+                if mf.any():
+                    o, s, ln = acc[fld]
+                    o.append(rows2[mf])
+                    s.append(ps[mf])
+                    ln.append(lns[mf])
+            new_pos[m2] = ps + lns
+        m1 = wt == WT_I64
+        if m1.any():
+            new_pos[m1] = p1[m1] + 8
+        m5 = wt == WT_I32
+        if m5.any():
+            new_pos[m5] = p1[m5] + 4
+        bad = ~(m0 | m2 | m1 | m5)
+        if bad.any():
+            raise ValueError(f"unsupported wire type {int(wt[bad][0])}")
+        pos[active] = new_pos
+        active = active[new_pos < end[active]]
+
+    spans = {}
+    for fld, (o, s, ln) in acc.items():
+        if o:
+            O = np.concatenate(o)
+            S = np.concatenate(s)
+            L = np.concatenate(ln)
+            # wavefront steps interleave messages: restore per-owner
+            # field order (scan order within each message is monotone)
+            order = np.lexsort((S, O))
+            spans[fld] = (O[order], S[order], L[order])
+        else:
+            spans[fld] = empty
+    return varint_vals, presence, spans
 
 
-def _packed_ragged(chunks: list[bytes], owners: list[int], n: int, signed: bool, delta: bool):
-    """Decode concatenated packed varint chunks → (offsets[n+1], flat values).
+def _packed_spans(
+    buf: np.ndarray,
+    owners: np.ndarray,
+    starts: np.ndarray,
+    lens: np.ndarray,
+    n: int,
+    signed: bool,
+    delta: bool,
+):
+    """Decode packed varint payload SPANS → (offsets[n+1], flat values).
 
-    One decode_varints pass over everything; per-message value counts are
-    recovered by counting continuation-bit terminators per chunk; delta
-    decoding is a global cumsum with per-segment base subtraction.
+    The spans point into the wavefront scan's concatenated buffer; one
+    vectorized gather assembles the flat packed bytes (repeat/arange
+    index trick — no per-message copies), then one decode_varints pass
+    over everything; per-message value counts are recovered by counting
+    continuation-bit terminators per chunk; delta decoding is a global
+    cumsum with per-segment base subtraction.
     """
-    if not chunks:
+    keep = lens > 0
+    if not keep.all():
+        owners, starts, lens = owners[keep], starts[keep], lens[keep]
+    if owners.size == 0:
         return np.zeros(n + 1, dtype=np.int64), _EMPTY_I64
-    if len(chunks) > 1:
-        own = np.asarray(owners, dtype=np.int64)
-        if (own[1:] == own[:-1]).any():
-            # A packed field split across repeated occurrences (legal protobuf)
-            # must decode as one run — merge adjacent same-owner chunks so
-            # delta decoding doesn't reset mid-message.
-            mc: list[bytes] = []
-            mo: list[int] = []
-            for c, o in zip(chunks, owners):
-                if mo and mo[-1] == o:
-                    mc[-1] = mc[-1] + c
-                else:
-                    mc.append(bytes(c))
-                    mo.append(o)
-            chunks, owners = mc, mo
-    buf = b"".join(chunks)
-    b = np.frombuffer(buf, dtype=np.uint8)
+    total = int(lens.sum())
+    rel = np.cumsum(lens) - lens
+    idx = np.repeat(starts - rel, lens) + np.arange(total, dtype=np.int64)
+    b = buf[idx]
+    chunk_lens = lens
+    if owners.size > 1 and (owners[1:] == owners[:-1]).any():
+        # A packed field split across repeated occurrences (legal protobuf)
+        # must decode as one run — merge adjacent same-owner chunks so
+        # delta decoding doesn't reset mid-message. (Bytes are already
+        # adjacent in the gathered buffer; only the bookkeeping merges.)
+        seg_new = np.concatenate(([True], owners[1:] != owners[:-1]))
+        sid = np.cumsum(seg_new) - 1
+        merged = np.zeros(int(sid[-1]) + 1, dtype=np.int64)
+        np.add.at(merged, sid, chunk_lens)
+        owners = owners[seg_new]
+        chunk_lens = merged
     is_end = (b & 0x80) == 0
-    chunk_lens = np.array([len(c) for c in chunks], dtype=np.int64)
     bounds = np.cumsum(chunk_lens)
     ends_cum = np.cumsum(is_end)
     per_chunk = np.diff(np.concatenate(([0], ends_cum[bounds - 1])))
@@ -420,17 +562,23 @@ def _packed_ragged(chunks: list[bytes], owners: list[int], n: int, signed: bool,
 
 
 def _decode_ways(bufs: list[memoryview], date_granularity: int) -> EntitySoA:
-    n = len(bufs)
-    varints, packed, owners, msgs, _pres = _scan_length_delimited(
-        bufs, packed_fields=(2, 3, 8, 9, 10), varint_fields=(1,), msg_fields=(4,)
+    return _decode_ways_arr(*_concat_bufs(bufs), date_granularity)
+
+
+def _decode_ways_arr(
+    b: np.ndarray, starts: np.ndarray, ends: np.ndarray, date_granularity: int
+) -> EntitySoA:
+    n = starts.size
+    varints, _pres, spans = _scan_spans_vec(
+        b, starts, ends, packed_fields=(2, 3, 8, 9, 10), varint_fields=(1,), msg_fields=(4,)
     )
     soa = EntitySoA(id=varints[1])
-    soa.tag_off, soa.tag_key = _packed_ragged(packed[2], owners[2], n, False, False)
-    _voff, soa.tag_val = _packed_ragged(packed[3], owners[3], n, False, False)
-    soa.ref_off, soa.refs = _packed_ragged(packed[8], owners[8], n, True, True)
+    soa.tag_off, soa.tag_key = _packed_spans(b, *spans[2], n, False, False)
+    _voff, soa.tag_val = _packed_spans(b, *spans[3], n, False, False)
+    soa.ref_off, soa.refs = _packed_spans(b, *spans[8], n, True, True)
     # LocationsOnWays: same packed sint64 delta decode as refs
-    lat_off, lats = _packed_ragged(packed[9], owners[9], n, True, True)
-    lon_off, lons = _packed_ragged(packed[10], owners[10], n, True, True)
+    lat_off, lats = _packed_spans(b, *spans[9], n, True, True)
+    lon_off, lons = _packed_spans(b, *spans[10], n, True, True)
     if lats.size or lons.size:
         if not (np.array_equal(lat_off, soa.ref_off) and np.array_equal(lon_off, soa.ref_off)):
             # spec: per way, the number of values in refs, lat and lon
@@ -438,29 +586,35 @@ def _decode_ways(bufs: list[memoryview], date_granularity: int) -> EntitySoA:
             raise ValueError("LocationsOnWays lat/lon counts must match refs per way")
         soa.way_lat_coord = lats
         soa.way_lon_coord = lons
-    if msgs[4]:
-        soa.info = _decode_info_batch(msgs[4], n, date_granularity)
+    if spans[4][0].size:
+        soa.info = _decode_info_batch_spans(b, *spans[4], n=n, date_granularity=date_granularity)
     return soa
 
 
 def _decode_relations(bufs: list[memoryview], date_granularity: int) -> EntitySoA:
-    n = len(bufs)
-    varints, packed, owners, msgs, _pres = _scan_length_delimited(
-        bufs, packed_fields=(2, 3, 8, 9, 10), varint_fields=(1,), msg_fields=(4,)
+    return _decode_relations_arr(*_concat_bufs(bufs), date_granularity)
+
+
+def _decode_relations_arr(
+    b: np.ndarray, starts: np.ndarray, ends: np.ndarray, date_granularity: int
+) -> EntitySoA:
+    n = starts.size
+    varints, _pres, spans = _scan_spans_vec(
+        b, starts, ends, packed_fields=(2, 3, 8, 9, 10), varint_fields=(1,), msg_fields=(4,)
     )
     soa = EntitySoA(id=varints[1])
-    soa.tag_off, soa.tag_key = _packed_ragged(packed[2], owners[2], n, False, False)
-    _voff, soa.tag_val = _packed_ragged(packed[3], owners[3], n, False, False)
-    _roff, soa.mem_role = _packed_ragged(packed[8], owners[8], n, False, False)
-    soa.mem_off, soa.mem_ref = _packed_ragged(packed[9], owners[9], n, True, True)
-    _toff, types = _packed_ragged(packed[10], owners[10], n, False, False)
+    soa.tag_off, soa.tag_key = _packed_spans(b, *spans[2], n, False, False)
+    _voff, soa.tag_val = _packed_spans(b, *spans[3], n, False, False)
+    _roff, soa.mem_role = _packed_spans(b, *spans[8], n, False, False)
+    soa.mem_off, soa.mem_ref = _packed_spans(b, *spans[9], n, True, True)
+    _toff, types = _packed_spans(b, *spans[10], n, False, False)
     if (types > 2).any() or (types < 0).any():
         raise ValueError("unknown relation member type")
     soa.mem_type = types.astype(np.int8)
     if soa.mem_type.size != soa.mem_ref.size or soa.mem_role.size != soa.mem_ref.size:
         raise ValueError("relation member parallel arrays disagree")
-    if msgs[4]:
-        soa.info = _decode_info_batch(msgs[4], n, date_granularity)
+    if spans[4][0].size:
+        soa.info = _decode_info_batch_spans(b, *spans[4], n=n, date_granularity=date_granularity)
     return soa
 
 
@@ -532,24 +686,79 @@ def parse_primitive_block(raw: bytes) -> BlockSoA:
     way_parts: list[EntitySoA] = []
     rel_parts: list[EntitySoA] = []
     for group_buf in fields.get(2, []):
+        # specialized tight scan (no generator, no per-entry memoryview
+        # slicing): a group is a serial run of LEN entries — up to 8000
+        # way/relation views whose SPANS feed the vectorized batch
+        # decoders in place. All group keys are single-byte (fields
+        # 1-5); anything else takes the generic skip branch.
+        data = bytes(group_buf)
+        m = len(data)
+        pos = 0
         plain_nodes: list[memoryview] = []
-        ways: list[memoryview] = []
-        rels: list[memoryview] = []
-        for f, _wt, v in scan_fields(group_buf):
-            if f == 1:
-                plain_nodes.append(v)
-            elif f == 2:
-                node_parts.append(_decode_dense_nodes(v, date_granularity))
-            elif f == 3:
-                ways.append(v)
-            elif f == 4:
-                rels.append(v)
+        w_starts: list[int] = []
+        w_lens: list[int] = []
+        r_starts: list[int] = []
+        r_lens: list[int] = []
+        while pos < m:
+            key = data[pos]
+            pos += 1
+            wt = key & 7
+            if wt == WT_LEN and key < 0x80:
+                ln = data[pos]
+                pos += 1
+                if ln >= 0x80:
+                    ln &= 0x7F
+                    shift = 7
+                    while True:
+                        c = data[pos]
+                        pos += 1
+                        ln |= (c & 0x7F) << shift
+                        if c < 0x80:
+                            break
+                        shift += 7
+                f = key >> 3
+                if f == 3:
+                    w_starts.append(pos)
+                    w_lens.append(ln)
+                elif f == 1:
+                    plain_nodes.append(group_buf[pos : pos + ln])
+                elif f == 2:
+                    node_parts.append(
+                        _decode_dense_nodes(group_buf[pos : pos + ln], date_granularity)
+                    )
+                elif f == 4:
+                    r_starts.append(pos)
+                    r_lens.append(ln)
+                pos += ln
+            else:  # forward-compat: unknown/multi-byte-key fields skip
+                key_full = key
+                if key >= 0x80:
+                    key_full, pos = decode_varint(data, pos - 1)
+                wt = key_full & 7
+                if wt == WT_VARINT:
+                    _, pos = decode_varint(data, pos)
+                elif wt == WT_LEN:
+                    ln, pos = decode_varint(data, pos)
+                    pos += ln
+                elif wt == WT_I64:
+                    pos += 8
+                elif wt == WT_I32:
+                    pos += 4
+                else:
+                    raise ValueError(f"unsupported wire type {wt}")
         if plain_nodes:
             node_parts.append(_decode_plain_nodes(plain_nodes, date_granularity))
-        if ways:
-            way_parts.append(_decode_ways(ways, date_granularity))
-        if rels:
-            rel_parts.append(_decode_relations(rels, date_granularity))
+        seg = np.frombuffer(group_buf, dtype=np.uint8)
+        if w_starts:
+            ws = np.array(w_starts, dtype=np.int64)
+            way_parts.append(
+                _decode_ways_arr(seg, ws, ws + np.array(w_lens, np.int64), date_granularity)
+            )
+        if r_starts:
+            rs = np.array(r_starts, dtype=np.int64)
+            rel_parts.append(
+                _decode_relations_arr(seg, rs, rs + np.array(r_lens, np.int64), date_granularity)
+            )
 
     def merge(parts: list[EntitySoA]) -> EntitySoA:
         return _concat_entity(parts) if parts else EntitySoA()

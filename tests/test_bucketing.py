@@ -67,3 +67,61 @@ def test_bucketed_media_join_is_shuffle_free(spark, fixture_dir, tmp_path_factor
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+def test_bucketed_way_assembly_join_is_shuffle_free(spark):
+    """The ways×nodes geometry join (THE shuffle-heavy OSM operator) is
+    co-located when the pre-exploded refs table and the node table are
+    bucketed by the node-id key: no Exchange on either fact side; the
+    only Exchange left is the unavoidable reassembly groupBy(way_id)."""
+    from pbf_spark.operators.ways import (
+        assemble_way_geometries,
+        assemble_way_geometries_from_refs,
+    )
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    nodes = spark.range(0, 3000).select(
+        F.col("id"),
+        (F.col("id") % 100 / 100.0 + 51.0).alias("lat"),
+        (F.col("id") % 97 / 97.0 - 0.3).alias("lon"),
+    )
+    ways = spark.range(0, 500).select(
+        F.col("id"),
+        F.expr("sequence(id * 6 % 2995, id * 6 % 2995 + 5)").alias("refs"),
+    )
+
+    import shutil
+
+    for name in ("b_refs", "b_nodes"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"/dev/shm/pbf-spark-warehouse/{name}", ignore_errors=True)
+    refs = ways.select(F.col("id").alias("way_id"), F.posexplode("refs").alias("pos", "ref"))
+    refs.write.bucketBy(8, "ref").sortBy("ref").mode("overwrite").saveAsTable("b_refs")
+    nodes.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("b_nodes")
+
+    assembled = assemble_way_geometries_from_refs(
+        spark.table("b_refs"), spark.table("b_nodes")
+    )
+    plan = _plan(assembled)
+    # no shuffle on the join key — bucket-aware scans feed the SMJ; the
+    # single remaining Exchange is the groupBy(way_id) reassembly
+    assert "hashpartitioning(ref" not in plan
+    assert "SortMergeJoin" in plan
+    # formatted explain lists every node twice (tree + detail section):
+    # count detail headers "(N) Exchange" for the true node count
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(way_id" in plan
+
+    # unbucketed baseline shuffles both join sides
+    base_plan = _plan(assemble_way_geometries(ways, nodes))
+    assert base_plan.count("hashpartitioning(ref") >= 2
+
+    # and produces identical rows
+    a = assembled
+    b = assemble_way_geometries(ways, nodes)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

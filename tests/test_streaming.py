@@ -271,6 +271,96 @@ def test_stream_user_sessions_out_of_order_across_batches(spark, tmp_path_factor
     assert (1, 20, 30, 3, 7.0) in rows
 
 
+def test_composed_decode_user_sessions_exactly_once(spark, fixture_dir, blobs, tmp_path_factory):
+    """Round-5 composition: document file stream → mapInArrow PBF decode
+    → per-uploader stateful sessionization (applyInPandasWithState) in
+    ONE checkpointed query. Restarting with no input re-emits nothing;
+    adding files resumes sessions FROM STATE; every session the batch
+    twin closes under the final watermark is emitted exactly once, and
+    nothing outside the batch session set ever appears."""
+    import datetime as dt
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from pbf_spark.model.schema import DOCUMENT_SCHEMA
+    from pbf_spark.operators.temporal import sessionize
+    from pbf_spark.streaming.pipeline import stream_decode_user_sessions
+
+    tmp = tmp_path_factory.mktemp("composed_sess")
+    staged = tmp / "docs_table" / "data"
+    staged.mkdir(parents=True)
+    # split the fixture docs into two DISJOINT halves (duplicate-content
+    # files would be watermark-dropped by the stream but double-counted
+    # by the batch twin)
+    import pyarrow.parquet as pq
+
+    src_files = sorted((fixture_dir / "documents_interleaved" / "data").glob("*.parquet"))
+    t = pq.read_table(src_files[0])
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), staged / "part-a.parquet")
+    part_b = t.slice(half)
+    out, ckpt = tmp / "sessions", tmp / "ckpt"
+    gap = "7 days"
+
+    stream_decode_user_sessions(spark, tmp / "docs_table", blobs, out, ckpt, gap=gap)
+    n1 = spark.read.parquet(str(out)).count()
+
+    # restart with NO new input: nothing may re-emit
+    stream_decode_user_sessions(spark, tmp / "docs_table", blobs, out, ckpt, gap=gap)
+    assert spark.read.parquet(str(out)).count() == n1
+
+    # resume with more documents: sessions continue from checkpointed state
+    pq.write_table(part_b, staged / "part-b.parquet")
+    stream_decode_user_sessions(spark, tmp / "docs_table", blobs, out, ckpt, gap=gap)
+    got = spark.read.parquet(str(out)).collect()
+    keys = [(r["user_id"], r["session_start"]) for r in got]
+    assert len(keys) == len(set(keys))  # exactly-once per session
+
+    # watermark-aware batch twin: the stream admits all of part-a, then
+    # only part-b rows at/after the watermark part-a set (0-second
+    # delay → max part-a edit time); sessionize exactly those rows.
+    def _edits(src):
+        docs = spark.read.schema(DOCUMENT_SCHEMA).parquet(str(src))
+        return (
+            decode.decode_documents(docs, blobs)
+            .where("info.ts IS NOT NULL AND info.uid IS NOT NULL")
+            .select(
+                F.col("info.uid").cast("long").alias("user_id"),
+                F.col("info.ts").alias("ts"),
+                F.lit(1.0).alias("value"),
+            )
+        )
+
+    edits_a = _edits(staged / "part-a.parquet")
+    wm_a = edits_a.agg(F.max("ts")).first()[0]
+    kept = edits_a.unionByName(
+        _edits(staged / "part-b.parquet").where(F.col("ts") >= F.lit(wm_a))
+    )
+    batch = sessionize(kept, gap_seconds=7 * 86400, order_cols=()).collect()
+    wm_b = kept.agg(F.max("ts")).first()[0]
+    gap_td = dt.timedelta(days=7, milliseconds=2)
+    last_sid = {}
+    for r in batch:
+        last_sid[r["user_id"]] = max(last_sid.get(r["user_id"], 0), r["session_id"])
+    # must emit: every non-final session (closed by a later in-batch
+    # atom) plus final sessions the watermark timed out
+    expected_must = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch
+        if r["session_id"] < last_sid[r["user_id"]] or r["session_end"] + gap_td < wm_b
+    }
+    all_batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"]) for r in batch
+    }
+    got_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"]) for r in got
+    }
+    assert expected_must, "fixture must close at least one session"
+    assert expected_must <= got_set  # everything closed was emitted
+    assert got_set <= all_batch  # nothing outside the batch twin
+
+
 def test_stream_user_sessions_late_cluster_splits(spark, tmp_path_factory):
     """A cross-batch late CLUSTER more than one gap before the open
     session must form (and emit) its own earlier session — the batch

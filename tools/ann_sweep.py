@@ -39,6 +39,31 @@ def sweep_corpus(spark, n_vecs: int, n_q: int, radii=(0, 1, 2)) -> dict:
     }
 
     out = {"vectors": n_vecs, "queries": nq}
+    # bucket census: the broadcast/shard-size facts a 100-TB deployment
+    # partitions by (same construction lsh_topk uses internally)
+    planes = simsearch._band_planes(bands=2, n_planes=12, dim=64, seed=42, extra=6)
+    bucketed = emb.select(
+        F.explode(simsearch._band_bucket_udf(planes, 12)(F.col("embedding"))).alias("_pk")
+    ).withColumn("_bucket", F.expr(f"_pk & {simsearch._COARSE_MASK}"))
+    census = bucketed.groupBy("_bucket").count().cache()
+    stats = census.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("count").alias("max_bucket_rows"),
+        F.avg("count").alias("avg_bucket_rows"),
+        F.sum(F.when(F.col("count") > 4000, 1).otherwise(0)).alias("hot_buckets"),
+    ).first()
+    vec_bytes = 64 * 4 + 24  # float vector payload + id/key overhead
+    out["bucket_census"] = {
+        "n_buckets": stats["n_buckets"],
+        "hot_buckets_gt_4000": int(stats["hot_buckets"]),
+        "max_bucket_rows": int(stats["max_bucket_rows"]),
+        "avg_bucket_rows": round(float(stats["avg_bucket_rows"]), 1),
+        # per-shard envelope: what one executor holds if it owns the
+        # worst bucket (pre-refinement) — the partition-by number for a
+        # 100-TB deployment
+        "max_bucket_mb": round(int(stats["max_bucket_rows"]) * vec_bytes / 1e6, 2),
+    }
+    census.unpersist()
     for radius in radii:
         ann = lambda: simsearch.lsh_topk(
             emb, qs, k=5, dim=64, n_planes=12, bands=2,
@@ -66,10 +91,16 @@ def main() -> None:
     spark = get_spark(app_name="ann-sweep", master=f"local[{cpus}]")
     n_1m = int(os.environ.get("SPARK_GRAFT_BENCH_VECS_1M", "1000000"))
     n_100k = int(os.environ.get("SPARK_GRAFT_BENCH_VECS", "100000"))
+    n_4m = int(os.environ.get("SPARK_GRAFT_BENCH_VECS_4M", "4000000"))
     out = {
         "corpus_100k": sweep_corpus(spark, n_100k, 100),
         "corpus_1m": sweep_corpus(spark, n_1m, 50),
     }
+    if n_4m:
+        # beyond-1M scale point (round-5): radius {0,1} only — the 1M
+        # frontier already shows radius 2 trades QPS for no recall gain
+        # past radius 1
+        out["corpus_4m"] = sweep_corpus(spark, n_4m, 50, radii=(0, 1))
     dest = REPO / "bench_out" / "ann_sweep.json"
     dest.write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
