@@ -200,6 +200,50 @@ def minhash_lsh_pairs(
     return verified
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate CLUSTER assignment — the end-to-end dedup output:
+    → (doc_id, cluster_id, cluster_size, is_rep) for EVERY document.
+
+    Composes :func:`minhash_lsh_pairs` with connected components over
+    the pair graph (operators/graph.py): ``cluster_id`` is the smallest
+    doc id in the near-dup component, documents in no pair are singleton
+    clusters of themselves, and ``is_rep`` marks the one document per
+    cluster a keep-one-representative dedup retains (the min id —
+    deterministic; rank by a quality score instead by joining
+    text.quality_score and window-ranking within cluster_id).
+
+    Scale shape: pairs are the bucketed LSH join (never all-pairs), the
+    CC rounds are equi-join shuffles bounded by the dup-graph diameter
+    (≈2-3: near-dup clusters are near-cliques), and the final size/rep
+    annotation is one window over cluster_id.
+    """
+    from pyspark.sql import Window
+
+    from .graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n_hashes, bands, shingle_n, threshold, max_bucket
+    )
+    labels = connected_components(
+        pairs, vertices=df.select(id_col), src="id_a", dst="id_b"
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(F.col("id").alias(id_col), F.col("component").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_rep", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash: per-bit majority vote over md5-derived token bits.
 

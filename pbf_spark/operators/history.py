@@ -1,0 +1,45 @@
+"""OSM history / replication-diff reconciliation: latest version wins.
+
+Full-history PBF files and minutely replication diffs both deliver
+multiple versions of the same entity; materializing the current
+snapshot means keeping, per (entity_type, id), the row with the highest
+``info.version`` (ties — which replication replays can produce —
+broken by newest ``info.ts``), then dropping rows whose winning version
+is a delete (``info.visible = false``; the decoder defaults DenseInfo
+visibility to true per the spec — wire/osmformat.py dense info decode).
+
+100-TB shape: one window over the (entity_type, id) hash partitioning —
+the same single-shuffle shape as the as-of join (temporal.py); no
+driver state, no Python. Applying a diff stream incrementally is the
+same operator over ``snapshot.unionByName(diff)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_versions(
+    entities: DataFrame,
+    drop_deleted: bool = True,
+) -> DataFrame:
+    """→ the newest version of each (entity_type, id); with
+    ``drop_deleted`` (the snapshot semantics) entities whose newest
+    version is invisible disappear entirely. Rows lacking ``info`` rank
+    below any versioned row (nulls last) — a versionless duplicate
+    never shadows real history."""
+    w = Window.partitionBy("entity_type", "id").orderBy(
+        F.col("info.version").desc_nulls_last(),
+        F.col("info.ts").desc_nulls_last(),
+    )
+    latest = (
+        entities.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if drop_deleted:
+        latest = latest.where(
+            F.col("info").isNull() | F.coalesce(F.col("info.visible"), F.lit(True))
+        )
+    return latest

@@ -352,16 +352,12 @@ def pip_events_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id")
     )
 
-def pip_relation_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIP join against a multipolygon ASSEMBLED FROM AN OSM RELATION
-    (operators/relations.py): the star/square/hole shape is rebuilt from
-    member ways — a three-way outer chain with a reversed segment, a
-    role='' single closed way, a two-way inner hole needing a reversal,
-    an unclosed chain that must be dropped, and a missing-way member —
-    then fed through the same covering-prefilter + ray-cast path. The
-    oracle ray-casts the expected rings directly, so any stitching error
-    (role mix-up, missed reversal, leaked unclosed ring) changes the
-    contained-point set and breaks the hash."""
+def _relation_fixture_polys(spark: SparkSession) -> DataFrame:
+    """The star/square/hole multipolygon rebuilt from OSM relation
+    members: a three-way outer chain with a reversed segment, a role=''
+    single closed way, a two-way inner hole needing a reversal, an
+    unclosed chain that must be dropped, and a missing-way member —
+    shared by the PIP and ring-metrics relation queries."""
     from .operators.relations import assemble_multipolygons
     from .util import small_df
 
@@ -406,10 +402,19 @@ def pip_relation_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(9, members)],
         "id long, members array<struct<ref:long,type:string,role:string>>",
     )
-    polys = assemble_multipolygons(rel_df, ways_df, nodes_df).select("polygon_id", "rings")
+    return assemble_multipolygons(rel_df, ways_df, nodes_df).select("polygon_id", "rings")
 
+
+def pip_relation_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join against a multipolygon ASSEMBLED FROM AN OSM RELATION
+    (operators/relations.py — fixture in :func:`_relation_fixture_polys`)
+    fed through the same covering-prefilter + ray-cast path. The oracle
+    ray-casts the expected rings directly, so any stitching error (role
+    mix-up, missed reversal, leaked unclosed ring) changes the
+    contained-point set and breaks the hash."""
     from .operators.spatial import point_in_polygon_join
 
+    polys = _relation_fixture_polys(spark)
     pts = event_points(spark, sf_dir)
     return (
         point_in_polygon_join(pts, polys, keep_polygon_cols=())
@@ -418,7 +423,78 @@ def pip_relation_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def relation_ring_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area / perimeter / centroid of every ring of the
+    relation-assembled multipolygon (operators/polygons.ring_metrics) —
+    verifies the stitching AND the pure-Catalyst shoelace/haversine
+    folds: the oracle computes the identical projection over the
+    expected rings, so a leaked unclosed ring, a duplicated vertex, or
+    a wrong fold breaks count or hash. Metrics are rotation- and
+    winding-invariant, so stitch order doesn't matter."""
+    from .operators.polygons import ring_metrics
+
+    del sf_dir  # fixture-driven: the relation fixture is the input
+    return ring_metrics(_relation_fixture_polys(spark)).orderBy("area_km2")
+
+
 PIP_RELATION_SQL = _pip_sql([POLYGON, POLYGON_OUTER2, POLYGON_HOLE], "rel_9")
+
+
+def _ring_metrics_sql(rings: list[list[tuple[float, float]]], pid: str) -> str:
+    """SQL twin of operators/polygons.ring_metrics over literal rings:
+    the identical per-ring equirectangular projection (mean-latitude
+    reference, R = 6371008.8), shoelace area/centroid, and haversine
+    perimeter — term order matches the Spark folds, so rounded values
+    agree to the last digit."""
+    rows = ",\n  ".join(
+        "('{}', [{}], [{}])".format(
+            pid,
+            ", ".join(str(la) for la, _ in ring),
+            ", ".join(str(lo) for _, lo in ring),
+        )
+        for ring in rings
+    )
+    R = "6371008.8"
+    hav = f"""2 * {R} * asin(sqrt(
+        pow(sin(radians((lats[i % n + 1] - lats[i]) / 2)), 2)
+        + cos(radians(lats[i])) * cos(radians(lats[i % n + 1]))
+          * pow(sin(radians((lons[i % n + 1] - lons[i]) / 2)), 2)))"""
+    return f"""
+WITH ring(polygon_id, lats, lons) AS (VALUES
+  {rows}),
+p AS (
+  SELECT polygon_id, lats, lons, len(lats) AS n,
+         list_sum(lats) / len(lats) AS phi0
+  FROM ring
+), pr AS (
+  SELECT *, cos(radians(phi0)) * {R} AS k FROM p
+), v AS (
+  SELECT *,
+    [radians(lons[i]) * k for i in generate_series(1, n)] AS xs,
+    [radians(lats[i]) * {R} for i in generate_series(1, n)] AS ys
+  FROM pr
+), c AS (
+  SELECT *,
+    [xs[i] * ys[i % n + 1] - xs[i % n + 1] * ys[i]
+     for i in generate_series(1, n)] AS cr
+  FROM v
+), a AS (SELECT *, list_sum(cr) AS a2 FROM c)
+SELECT polygon_id, CAST(n AS INT) AS n_vertices,
+  round(abs(a2) / 2 / 1e6, 6) AS area_km2,
+  round(list_sum([{hav} for i in generate_series(1, n)]) / 1000.0, 6) AS perimeter_km,
+  round(CASE WHEN a2 = 0 THEN list_sum(lats) / n
+        ELSE degrees((list_sum([(ys[i] + ys[i % n + 1]) * cr[i]
+                                for i in generate_series(1, n)]) / (3 * a2)) / {R})
+        END, 6) AS centroid_lat,
+  round(CASE WHEN a2 = 0 THEN list_sum(lons) / n
+        ELSE degrees((list_sum([(xs[i] + xs[i % n + 1]) * cr[i]
+                                for i in generate_series(1, n)]) / (3 * a2)) / k)
+        END, 6) AS centroid_lon
+FROM a ORDER BY area_km2
+"""
+
+
+RING_METRICS_SQL = _ring_metrics_sql([POLYGON, POLYGON_OUTER2, POLYGON_HOLE], "rel_9")
 
 
 _HAVERSINE_SQL = (
@@ -698,8 +774,9 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, n_hashes=8, bands=4, threshold=0.5).orderBy("id_a", "id_b")
 
 
-LSH_PAIRS_SQL = """
-WITH t AS (
+# shared CTE chain: shingle → minhash → banded buckets → verified pairs
+# (used by the pair query and, under WITH RECURSIVE, the cluster query)
+_LSH_BODY = """t AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -720,17 +797,58 @@ WITH t AS (
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ), dsh AS (
   SELECT doc_id, list_distinct(shingles) AS s FROM sh
-)
-SELECT c.id_a, c.id_b,
-       round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-             / greatest(len(list_distinct(list_cat(sa.s, sb.s))), 1), 6) AS jaccard
-FROM cand c
-JOIN dsh sa ON sa.doc_id = c.id_a
-JOIN dsh sb ON sb.doc_id = c.id_b
-WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-            / greatest(len(list_distinct(list_cat(sa.s, sb.s))), 1), 6) >= 0.5
-ORDER BY id_a, id_b
+), pairs AS (
+  SELECT c.id_a, c.id_b,
+         round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / greatest(len(list_distinct(list_cat(sa.s, sb.s))), 1), 6) AS jaccard
+  FROM cand c
+  JOIN dsh sa ON sa.doc_id = c.id_a
+  JOIN dsh sb ON sb.doc_id = c.id_b
+  WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / greatest(len(list_distinct(list_cat(sa.s, sb.s))), 1), 6) >= 0.5
+)"""
+
+LSH_PAIRS_SQL = f"""
+WITH {_LSH_BODY}
+SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
 """
+
+# connected components of the near-dup pair graph by recursive min-label
+# walk: a label spreads along an edge only onto a LARGER node id, so the
+# component minimum (smaller than every other member) reaches every node
+# while the enumeration stays bounded; min() per node then IS the
+# component id — the same labeling operators/graph.connected_components
+# converges to.
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_LSH_BODY},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.id WHERE w.lbl < e.d
+),
+lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_rep
+FROM lab ORDER BY doc_id
+"""
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: LSH pairs → distributed
+    connected components (operators/graph.py) → one row per document
+    with its cluster id (min doc id in the near-dup component), cluster
+    size, and the keep-one representative flag. The oracle recomputes
+    the same pair graph and labels it with a recursive min-label CTE."""
+    from .operators.dedup import near_dup_clusters
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return near_dup_clusters(docs, n_hashes=8, bands=4, threshold=0.5).orderBy("doc_id")
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -982,6 +1100,8 @@ QUERIES = {
     "asof_join_events": asof_join_events,
     "tile_pyramid": tile_pyramid_events,
     "range_join_events": range_join_events,
+    "relation_ring_metrics": relation_ring_metrics,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
@@ -1011,4 +1131,6 @@ ORACLES = {
     "asof_join_events": ASOF_JOIN_SQL,
     "tile_pyramid": _tile_pyramid_sql(),
     "range_join_events": _range_join_sql(),
+    "relation_ring_metrics": RING_METRICS_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
 }

@@ -73,7 +73,7 @@ def run_size(k: int, cores: int, window: float, fixture_dir: str, zpath: Path, t
         )
 
     # coordinator: release each phase barrier once every worker is ready
-    for phase in ("decode", "pip"):
+    for phase in ("decode", "pip", "ways"):
         deadline = time.time() + 900
         while True:
             ready = sum((barrier / f"ready_{phase}_{i}").exists() for i in range(k))
@@ -93,7 +93,11 @@ def run_size(k: int, cores: int, window: float, fixture_dir: str, zpath: Path, t
     workers = [json.loads(o.read_text()) for o in outs]
 
     agg = {"k": k, "cores_per_worker": cores, "workers": workers}
-    for phase, unit_key in (("decode", "entities_per_run"), ("pip", "pip_rows_per_run")):
+    for phase, unit_key in (
+        ("decode", "entities_per_run"),
+        ("pip", "pip_rows_per_run"),
+        ("ways", "ways_per_run"),
+    ):
         thr = sum(w[unit_key] * w[phase]["runs"] / w[phase]["elapsed_sec"] for w in workers)
         cpu = sum(w[phase]["cpu_sec"] for w in workers)
         units = sum(w[unit_key] * w[phase]["runs"] for w in workers)
@@ -130,7 +134,7 @@ def main() -> None:
             if k not in levels:
                 levels[k] = r
             else:  # keep per-phase best (stall-episode robustness)
-                for ph in ("decode", "pip"):
+                for ph in ("decode", "pip", "ways"):
                     if r[f"{ph}_agg_per_sec"] > levels[k][f"{ph}_agg_per_sec"]:
                         levels[k][f"{ph}_agg_per_sec"] = r[f"{ph}_agg_per_sec"]
                         levels[k][f"{ph}_workers_best"] = r["workers"]
@@ -142,10 +146,12 @@ def main() -> None:
     eff = {
         "decode": round(levels[hi]["decode_agg_per_sec"] / (factor * levels[lo]["decode_agg_per_sec"]), 3),
         "pip_join": round(levels[hi]["pip_agg_per_sec"] / (factor * levels[lo]["pip_agg_per_sec"]), 3),
+        "way_assembly": round(levels[hi]["ways_agg_per_sec"] / (factor * levels[lo]["ways_agg_per_sec"]), 3),
     }
     cpu_eff = {
         "decode": round(levels[lo]["decode_cpu_us_per_unit"] / levels[hi]["decode_cpu_us_per_unit"], 3),
         "pip_join": round(levels[lo]["pip_cpu_us_per_unit"] / levels[hi]["pip_cpu_us_per_unit"], 3),
+        "way_assembly": round(levels[lo]["ways_cpu_us_per_unit"] / levels[hi]["ways_cpu_us_per_unit"], 3),
     }
     report = {
         "protocol": (

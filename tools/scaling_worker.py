@@ -15,7 +15,7 @@ separate Python worker pools — exactly what K executor processes look
 like on a cluster, sharing only what cluster nodes never share (one
 host's DRAM). Aggregate throughput of K=4 vs K=1 is the scaling number.
 
-Protocol per phase (decode, pip_join):
+Protocol per phase (decode, pip_join, way_assembly):
   warm once → signal ready_{phase}_{id} → wait for go_{phase} (all
   workers ready) → run the phase in a loop for >= window_sec → report
   runs, elapsed, CPU seconds of this worker's whole process tree.
@@ -128,6 +128,26 @@ def main(fixture_dir: str, out_json: str, barrier_dir: str, worker_id: int, n_wo
     _barrier(barrier_dir, "pip", worker_id)
     pip_res = _window(pip_run, window_sec, cpu_fn)
 
+    # ways phase: the big-big shuffle join (refs x nodes -> ordered
+    # geometry arrays). Inputs cached like pip's: decode is ingest-time
+    # work already measured by the decode phase; what this window times
+    # is the posexplode -> shuffle join -> reassembly groupBy itself.
+    from pbf_spark.operators import ways as ways_ops
+
+    way_refs = (
+        decode.decode_documents(docs, blobs, partitions=0, columns=frozenset({"refs"}))
+        .where("entity_type='way'")
+        .select("id", "refs")
+        .repartition(cores * 2)
+        .cache()
+    )
+    n_ways = way_refs.count()
+    node_coords = nodes.select("id", "lat", "lon")
+    ways_run = lambda: force(ways_ops.assemble_way_geometries(way_refs, node_coords))
+    ways_run()  # warmup
+    _barrier(barrier_dir, "ways", worker_id)
+    ways_res = _window(ways_run, window_sec, cpu_fn)
+
     out = {
         "worker_id": worker_id,
         "n_workers": n_workers,
@@ -136,8 +156,10 @@ def main(fixture_dir: str, out_json: str, barrier_dir: str, worker_id: int, n_wo
         "entities_per_run": n_entities,
         "n_nodes": n_nodes,
         "pip_rows_per_run": n_join,
+        "ways_per_run": n_ways,
         "decode": decode_res,
         "pip": pip_res,
+        "ways": ways_res,
     }
     with open(out_json, "w") as f:
         json.dump(out, f)

@@ -18,7 +18,7 @@ def _one_table(path: Path) -> str:
     eff, ceff = d["scaling_efficiency"], d["cpu_time_efficiency"]
     cores = a["cores_per_worker"]
     w = a["workers"][0]
-    return f"""**{cores}-core executors** ({lo} vs {hi} workers; per-run input
+    table = f"""**{cores}-core executors** ({lo} vs {hi} workers; per-run input
 x{w["replicate"]} fixture = {w["entities_per_run"]:,} entities /
 {w["pip_rows_per_run"]:,} PIP rows; raw: {path.name}):
 
@@ -27,6 +27,12 @@ x{w["replicate"]} fixture = {w["entities_per_run"]:,} entities /
 | decode (entities) | {a["decode_agg_per_sec"]:,} | {b["decode_agg_per_sec"]:,} | {eff["decode"]} | {ceff["decode"]} |
 | PIP join (rows) | {a["pip_agg_per_sec"]:,} | {b["pip_agg_per_sec"]:,} | {eff["pip_join"]} | {ceff["pip_join"]} |
 """
+    if "ways_agg_per_sec" in a:  # ways phase added round 5; older raws lack it
+        table += (
+            f"| way assembly (ways) | {a['ways_agg_per_sec']:,} | {b['ways_agg_per_sec']:,} "
+            f"| {eff['way_assembly']} | {ceff['way_assembly']} |\n"
+        )
+    return table
 
 
 def _memcpy_table() -> str:
