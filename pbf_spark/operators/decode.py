@@ -182,6 +182,41 @@ def _entity_batch(
 
 _ALL_KINDS = ("node", "way", "relation")
 
+def _normalize_tag_filter(tf) -> dict | None:
+    """Accepts an iterable of keys or a {key: values-or-None} mapping;
+    normalized once driver-side so the per-blob hot path sees a dict."""
+    if tf is None:
+        return None
+    if isinstance(tf, dict):
+        return {
+            str(k): (None if v is None else tuple(str(x) for x in v))
+            for k, v in tf.items()
+        }
+    return {str(k): None for k in tf}
+
+
+def _tag_filter_sel(soa, block, tag_filter: dict) -> np.ndarray:
+    """Boolean row mask: entity has ≥1 tag matching the filter — decided
+    on STRING-TABLE IDS (one vectorized lookup per filter key against
+    the block's table, then isin over the flat tag-id arrays), so
+    non-matching entities never reach Arrow materialization. This is
+    predicate pushdown below the columnar boundary: the decode-side
+    analogue of a parquet row-group filter."""
+    strings = block.strings
+    hit = np.zeros(soa.tag_key.size, dtype=bool)
+    for key, vals in tag_filter.items():
+        ksids = np.nonzero(strings == key)[0]
+        if ksids.size == 0:
+            continue
+        kmask = np.isin(soa.tag_key, ksids)
+        if vals is not None:
+            vsids = np.nonzero(np.isin(strings, np.array(vals, dtype=object)))[0]
+            kmask &= np.isin(soa.tag_val, vsids)
+        hit |= kmask
+    cs = np.zeros(soa.tag_key.size + 1, dtype=np.int64)
+    np.cumsum(hit, out=cs[1:])
+    return (cs[soa.tag_off[1:]] - cs[soa.tag_off[:-1]]) > 0
+
 
 def decode_blob_payload(
     payload: bytes,
@@ -193,6 +228,7 @@ def decode_blob_payload(
     columns: frozenset[str] | None = None,
     kinds: tuple[str, ...] = _ALL_KINDS,
     out_schema: pa.Schema = ENTITY_ARROW_SCHEMA,
+    tag_filter: dict | None = None,
 ) -> list[pa.RecordBatch]:
     """One OSMData blob payload → entity record batches (nodes, ways, rels)."""
     raw = wire_frame.decompress_payload(codec, payload, raw_size)
@@ -201,6 +237,12 @@ def decode_blob_payload(
     for kind, soa in (("node", block.nodes), ("way", block.ways), ("relation", block.relations)):
         if kind not in kinds:
             continue
+        if tag_filter is not None and len(soa):
+            sel = _tag_filter_sel(soa, block, tag_filter)
+            if not sel.any():
+                continue
+            if not sel.all():
+                soa = osmformat.subset_entities(soa, sel)
         rb = _entity_batch(kind, soa, block, doc_id, span_idx, blob_seq, columns, out_schema)
         if rb is not None:
             out.append(rb)
@@ -213,6 +255,7 @@ def _decode_map_arrow(
     coalesce_rows: int = 65536,
     kinds: tuple[str, ...] = _ALL_KINDS,
     out_schema: pa.Schema = ENTITY_ARROW_SCHEMA,
+    tag_filter: dict | None = None,
 ) -> Iterator[pa.RecordBatch]:
     # Per-blob decode emits ≤8000-row batches (1-3 per blob); shipping
     # those individually costs a fixed Arrow-IPC + JVM-columnar-batch
@@ -261,6 +304,7 @@ def _decode_map_arrow(
                 columns,
                 kinds,
                 out_schema,
+                tag_filter,
             ):
                 pending.append(rb)
                 pending_rows += rb.num_rows
@@ -277,6 +321,7 @@ def decode_blobs(
     kinds: tuple[str, ...] | None = None,
     slim: bool = False,
     way_locations: bool = False,
+    tag_filter=None,
 ) -> DataFrame:
     """Blob table → entity DataFrame.
 
@@ -297,6 +342,16 @@ def decode_blobs(
     populate (schema.KIND_FIELDS union) instead of emitting them as
     nulls — the row-conversion cost after mapInArrow is per column per
     row, so a nodes-only pipeline should not ship refs/members at all.
+
+    ``tag_filter``: decode-side predicate pushdown — an iterable of tag
+    KEYS (presence test) or a ``{key: values-or-None}`` mapping; only
+    entities with ≥1 matching tag are materialized to Arrow. The match
+    runs on string-table ids inside the wire SoA (one table lookup per
+    filter key per block), so a planet-scale "extract POIs" decode pays
+    Arrow build + transfer only for matches. NOTE an entity-level
+    predicate: a ways filter drops the untagged nodes carrying their
+    geometry — decode nodes in a separate ``kinds=("node",)`` pass (or
+    use LocationsOnWays files) when geometry is needed.
     """
     if partitions:
         blob_df = blob_df.repartition(partitions)
@@ -318,8 +373,9 @@ def decode_blobs(
         spark_schema, arrow_schema = entity_schema_subset(
             [f.name for f in ENTITY_SCHEMA.fields] + way_locs
         )
+    tf = _normalize_tag_filter(tag_filter)
     return blob_df.mapInArrow(
-        lambda it: _decode_map_arrow(it, want, coalesce_rows, kinds_t, arrow_schema),
+        lambda it: _decode_map_arrow(it, want, coalesce_rows, kinds_t, arrow_schema, tf),
         spark_schema,
     )
 
@@ -331,6 +387,7 @@ def decode_documents(
     columns: frozenset[str] | set[str] | None = None,
     kinds: tuple[str, ...] | None = None,
     slim: bool = False,
+    tag_filter=None,
 ) -> DataFrame:
     """Interleaved document table + blob sidecar → entity DataFrame (B1+B2).
 
@@ -358,7 +415,9 @@ def decode_documents(
         # simply having enough input files) makes this a no-op — pass
         # partitions=0 to skip.
         partitions = joined.sparkSession.sparkContext.defaultParallelism * 2
-    return decode_blobs(joined, partitions or None, columns, kinds=kinds, slim=slim)
+    return decode_blobs(
+        joined, partitions or None, columns, kinds=kinds, slim=slim, tag_filter=tag_filter
+    )
 
 
 def count_by_type(entities: DataFrame) -> DataFrame:

@@ -618,6 +618,48 @@ def _decode_relations_arr(
     return soa
 
 
+def _subset_ragged(
+    off: np.ndarray, sel: np.ndarray, flats: list[np.ndarray | None]
+) -> tuple[np.ndarray, list[np.ndarray | None]]:
+    """Row-subset a ragged (offsets + flat arrays) layout: keep the
+    segments of selected rows, rebuild offsets."""
+    lens = np.diff(off)
+    take = np.repeat(sel, lens)
+    new_off = np.zeros(int(sel.sum()) + 1, dtype=off.dtype)
+    np.cumsum(lens[sel], out=new_off[1:])
+    return new_off, [None if a is None else a[take] for a in flats]
+
+
+def subset_entities(soa: EntitySoA, sel: np.ndarray) -> EntitySoA:
+    """Row-subset an EntitySoA by boolean mask (vectorized gather of
+    every parallel array, ragged layouts re-sliced) — the decode-side
+    predicate-pushdown primitive (operators/decode tag_filter)."""
+    out = EntitySoA(id=soa.id[sel])
+    out.tag_off, (out.tag_key, out.tag_val) = _subset_ragged(
+        soa.tag_off, sel, [soa.tag_key, soa.tag_val]
+    )
+    for attr in ("lat_coord", "lon_coord"):
+        v = getattr(soa, attr)
+        if v is not None:
+            setattr(out, attr, v[sel])
+    if soa.ref_off is not None:
+        out.ref_off, (out.refs, out.way_lat_coord, out.way_lon_coord) = _subset_ragged(
+            soa.ref_off, sel, [soa.refs, soa.way_lat_coord, soa.way_lon_coord]
+        )
+    if soa.mem_off is not None:
+        out.mem_off, (out.mem_ref, out.mem_type, out.mem_role) = _subset_ragged(
+            soa.mem_off, sel, [soa.mem_ref, soa.mem_type, soa.mem_role]
+        )
+    if soa.info is not None:
+        out.info = InfoSoA(
+            **{
+                f_: getattr(soa.info, f_)[sel]
+                for f_ in InfoSoA.__dataclass_fields__
+            }
+        )
+    return out
+
+
 def _concat_entity(parts: list[EntitySoA]) -> EntitySoA:
     if len(parts) == 1:
         return parts[0]

@@ -347,3 +347,51 @@ def test_mid_stream_cancellation(spark, fixture_dir):
     assert "cancel" in str(err[0]).lower()
     # session stays usable
     assert docs.count() > 0
+
+
+def test_tag_filter_pushdown_matches_spark_filter(spark, fixture_dir, entities):
+    """Decode-side tag predicate pushdown (decode.py _tag_filter_sel +
+    osmformat.subset_entities): the filtered decode must equal the
+    unfiltered decode filtered in Spark — rows, tags, ragged payloads
+    (refs/members) intact — for both key-presence and key=value forms."""
+    docs = iceberg_lite.read_table(spark, fixture_dir / "documents_interleaved")
+    blobs = iceberg_lite.read_table(spark, fixture_dir / "media_blobs")
+
+    def canon(df):
+        return sorted(
+            (
+                r["entity_type"],
+                r["id"],
+                tuple(sorted((t["key"], t["value"]) for t in (r["tags"] or []))),
+                tuple(r["refs"] or []),
+                tuple((m["ref"], m["type"], m["role"]) for m in (r["members"] or [])),
+            )
+            for r in df.collect()
+        )
+
+    sel = "entity_type", "id", "tags", "refs", "members"
+
+    # key-presence filter
+    pushed = decode.decode_documents(docs, blobs, tag_filter=["highway"]).select(*sel)
+    expected = entities.where(
+        F.exists("tags", lambda t: t["key"] == F.lit("highway"))
+    ).select(*sel)
+    assert canon(pushed) == canon(expected)
+    assert pushed.count() > 0
+
+    # key=value filter
+    pushed_v = decode.decode_documents(
+        docs, blobs, tag_filter={"highway": ("primary", "footway")}
+    ).select(*sel)
+    expected_v = entities.where(
+        F.exists(
+            "tags",
+            lambda t: (t["key"] == F.lit("highway"))
+            & t["value"].isin("primary", "footway"),
+        )
+    ).select(*sel)
+    assert canon(pushed_v) == canon(expected_v)
+    assert pushed_v.count() > 0
+
+    # filter on a key absent from the corpus -> empty, not an error
+    assert decode.decode_documents(docs, blobs, tag_filter=["no_such_key"]).count() == 0
