@@ -16,8 +16,26 @@ same operator over ``snapshot.unionByName(diff)``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: list[str],
+    order: list[Column],
+) -> DataFrame:
+    """→ the single first row per key group under ``order`` (a list of
+    Column sort expressions, e.g. ``[F.col('ts').desc()]``) — the
+    generic snapshot primitive behind :func:`latest_versions`. One
+    window = one hash exchange on ``keys``; ties must be broken by the
+    caller's ``order`` for deterministic output."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def latest_versions(
@@ -29,14 +47,13 @@ def latest_versions(
     version is invisible disappear entirely. Rows lacking ``info`` rank
     below any versioned row (nulls last) — a versionless duplicate
     never shadows real history."""
-    w = Window.partitionBy("entity_type", "id").orderBy(
-        F.col("info.version").desc_nulls_last(),
-        F.col("info.ts").desc_nulls_last(),
-    )
-    latest = (
-        entities.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    latest = latest_by_key(
+        entities,
+        ["entity_type", "id"],
+        [
+            F.col("info.version").desc_nulls_last(),
+            F.col("info.ts").desc_nulls_last(),
+        ],
     )
     if drop_deleted:
         latest = latest.where(

@@ -18,8 +18,12 @@ emitting it (sources/pbf_sink.py).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def assemble_way_geometries(
@@ -111,3 +115,86 @@ def with_way_lengths(
     """Add ``length_m``: geodesic length of each way's coordinate arrays
     (from LocationsOnWays decode or assemble_way_geometries)."""
     return df.withColumn("length_m", F.expr(way_length_expr(lat_col, lon_col)))
+
+
+SIMPLIFIED_FIELDS = T.StructType(
+    [
+        T.StructField("way_lats", T.ArrayType(T.DoubleType()), True),
+        T.StructField("way_lons", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def _dp_mask(lats: np.ndarray, lons: np.ndarray, tol_m: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask, iterative (explicit stack, no
+    recursion limit). Distances on the equirectangular projection about
+    the way's mean latitude — consistent with polygons.ring_metrics,
+    exact enough for simplification tolerances (meters over a way's
+    extent) and fully vectorized per segment."""
+    n = lats.size
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    m_lat = 111194.9266  # meters per degree latitude (mean-earth radius)
+    kx = m_lat * np.cos(np.radians(lats.mean()))
+    xs, ys = lons * kx, lats * m_lat
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        dx, dy = xs[j] - xs[i], ys[j] - ys[i]
+        seg2 = dx * dx + dy * dy
+        px, py = xs[i + 1 : j] - xs[i], ys[i + 1 : j] - ys[i]
+        if seg2 == 0.0:  # closed/degenerate anchor pair: plain distance
+            d2 = px * px + py * py
+        else:  # perpendicular distance to the infinite anchor line
+            cross = px * dy - py * dx
+            d2 = cross * cross / seg2
+        k = int(np.argmax(d2))
+        if d2[k] > tol_m * tol_m:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return keep
+
+
+def simplify_ways(
+    df: DataFrame,
+    tolerance_m: float,
+    lat_col: str = "way_lats",
+    lon_col: str = "way_lons",
+) -> DataFrame:
+    """Douglas-Peucker simplification of way geometry arrays (from
+    LocationsOnWays decode or assemble_way_geometries): replaces the
+    coordinate arrays with the minimal subsequence whose deviation from
+    the original stays under ``tolerance_m`` meters; endpoints always
+    survive, so topology at way junctions is preserved.
+
+    100-TB shape: a narrow per-row array transform — Arrow-batched
+    pandas UDF, no shuffle, no driver state; composes before tiling /
+    rendering sinks to cut geometry bytes (a z12 render doesn't need
+    sub-meter vertices). Deterministic for a given input (argmax ties
+    break to the lowest index).
+    """
+
+    @pandas_udf(SIMPLIFIED_FIELDS)
+    def _simplify(lats: pd.Series, lons: pd.Series) -> pd.DataFrame:
+        out_la, out_lo = [], []
+        for la, lo in zip(lats, lons):
+            if la is None or len(la) < 3:
+                out_la.append(la)
+                out_lo.append(lo)
+                continue
+            a = np.asarray(la, dtype=np.float64)
+            o = np.asarray(lo, dtype=np.float64)
+            m = _dp_mask(a, o, tolerance_m)
+            out_la.append(a[m])
+            out_lo.append(o[m])
+        return pd.DataFrame({"way_lats": out_la, "way_lons": out_lo})
+
+    return (
+        df.withColumn("_simp", _simplify(F.col(lat_col), F.col(lon_col)))
+        .withColumn(lat_col, F.col("_simp.way_lats"))
+        .withColumn(lon_col, F.col("_simp.way_lons"))
+        .drop("_simp")
+    )

@@ -1069,6 +1069,108 @@ ORDER BY level, n_points DESC, tile_cell LIMIT 150
 """
 
 
+def latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-version snapshot (P16) oracle twin: the newest event per
+    (user_id, event_type) via operators/history.latest_by_key — the
+    exact window primitive latest_versions runs over (entity_type, id)
+    on OSM history/replication streams. One hash exchange on the key."""
+    from .operators.history import latest_by_key
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    latest = latest_by_key(
+        ev,
+        ["user_id", "event_type"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return latest.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.round("value", 4).alias("value"),
+    ).orderBy("user_id", "event_type")
+
+
+LATEST_EVENTS_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id, ts, round(value, 4) AS value
+FROM ranked WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+def bbox_pruned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered storage + bbox-pruned scan (P17): cluster the
+    deterministic event points along a Morton curve into a throwaway
+    parquet table (directory partition = coarse Morton prefix, rows
+    sorted by the full key), then answer a bbox query through the
+    pruned read path — directory pruning at plan time, z-range parquet
+    pushdown at scan time, exact lat/lon refine last. The oracle is the
+    plain bbox filter; identical rows prove the pruning lost nothing.
+    (The temp table outlives the call — the returned DataFrame still
+    scans it; OS tmp reaps it.)"""
+    import tempfile
+
+    from .operators import cluster as cl
+
+    pts = event_points(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="pbf_zorder_") + "/pts"
+    cl.write_clustered(pts, path, zoom=16, prefix_zoom=11, target_partitions=8)
+    got = cl.read_bbox(
+        spark,
+        path,
+        lat_min=51.40,
+        lat_max=51.55,
+        lon_min=-0.25,
+        lon_max=0.05,
+        zoom=16,
+        prefix_zoom=11,
+    )
+    return got.select("id").orderBy("id")
+
+
+BBOX_PRUNED_SQL = f"""
+WITH points AS ({_POINTS_SQL})
+SELECT id FROM points
+WHERE lat BETWEEN 51.40 AND 51.55 AND lon BETWEEN -0.25 AND 0.05
+ORDER BY id
+"""
+
+
+def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sample.hash_split):
+    md5-bucket assignment — stable under repartitioning and cluster
+    size, leak-free per key, pure codegen (no shuffle, no RNG state).
+    The oracle replays the identical md5 bucket in DuckDB."""
+    from .operators.sample import hash_split
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+DOC_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 800000 THEN 'train'
+            WHEN bucket < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1102,6 +1204,9 @@ QUERIES = {
     "range_join_events": range_join_events,
     "relation_ring_metrics": relation_ring_metrics,
     "dedup_clusters": dedup_clusters,
+    "latest_events": latest_events,
+    "bbox_pruned_events": bbox_pruned_events,
+    "doc_split": doc_split,
 }
 
 ORACLES = {
@@ -1133,4 +1238,7 @@ ORACLES = {
     "range_join_events": _range_join_sql(),
     "relation_ring_metrics": RING_METRICS_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "latest_events": LATEST_EVENTS_SQL,
+    "bbox_pruned_events": BBOX_PRUNED_SQL,
+    "doc_split": DOC_SPLIT_SQL,
 }

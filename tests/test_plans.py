@@ -94,3 +94,11 @@ def test_range_join_no_cross_join(spark):
     plan = plan_of(Q.range_join_events(spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Scan parquet") == 2  # events scanned exactly once
+
+
+def test_latest_events_single_window_exchange(spark):
+    """The latest-version snapshot primitive (latest_by_key) is ONE
+    window: exactly one hash exchange on the key pair, no join."""
+    plan = plan_of(Q.latest_events(spark, SF))
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Join" not in plan

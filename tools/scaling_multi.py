@@ -73,7 +73,7 @@ def run_size(k: int, cores: int, window: float, fixture_dir: str, zpath: Path, t
         )
 
     # coordinator: release each phase barrier once every worker is ready
-    for phase in ("decode", "pip", "ways"):
+    for phase in ("decode", "pip", "ways", "ways_bucketed"):
         deadline = time.time() + 900
         while True:
             ready = sum((barrier / f"ready_{phase}_{i}").exists() for i in range(k))
@@ -97,6 +97,7 @@ def run_size(k: int, cores: int, window: float, fixture_dir: str, zpath: Path, t
         ("decode", "entities_per_run"),
         ("pip", "pip_rows_per_run"),
         ("ways", "ways_per_run"),
+        ("ways_bucketed", "ways_per_run"),
     ):
         thr = sum(w[unit_key] * w[phase]["runs"] / w[phase]["elapsed_sec"] for w in workers)
         cpu = sum(w[phase]["cpu_sec"] for w in workers)
@@ -134,7 +135,7 @@ def main() -> None:
             if k not in levels:
                 levels[k] = r
             else:  # keep per-phase best (stall-episode robustness)
-                for ph in ("decode", "pip", "ways"):
+                for ph in ("decode", "pip", "ways", "ways_bucketed"):
                     if r[f"{ph}_agg_per_sec"] > levels[k][f"{ph}_agg_per_sec"]:
                         levels[k][f"{ph}_agg_per_sec"] = r[f"{ph}_agg_per_sec"]
                         levels[k][f"{ph}_workers_best"] = r["workers"]
@@ -147,11 +148,17 @@ def main() -> None:
         "decode": round(levels[hi]["decode_agg_per_sec"] / (factor * levels[lo]["decode_agg_per_sec"]), 3),
         "pip_join": round(levels[hi]["pip_agg_per_sec"] / (factor * levels[lo]["pip_agg_per_sec"]), 3),
         "way_assembly": round(levels[hi]["ways_agg_per_sec"] / (factor * levels[lo]["ways_agg_per_sec"]), 3),
+        "way_assembly_bucketed": round(
+            levels[hi]["ways_bucketed_agg_per_sec"] / (factor * levels[lo]["ways_bucketed_agg_per_sec"]), 3
+        ),
     }
     cpu_eff = {
         "decode": round(levels[lo]["decode_cpu_us_per_unit"] / levels[hi]["decode_cpu_us_per_unit"], 3),
         "pip_join": round(levels[lo]["pip_cpu_us_per_unit"] / levels[hi]["pip_cpu_us_per_unit"], 3),
         "way_assembly": round(levels[lo]["ways_cpu_us_per_unit"] / levels[hi]["ways_cpu_us_per_unit"], 3),
+        "way_assembly_bucketed": round(
+            levels[lo]["ways_bucketed_cpu_us_per_unit"] / levels[hi]["ways_bucketed_cpu_us_per_unit"], 3
+        ),
     }
     report = {
         "protocol": (

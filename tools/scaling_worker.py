@@ -76,6 +76,9 @@ def main(fixture_dir: str, out_json: str, barrier_dir: str, worker_id: int, n_wo
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.local.dir", f"/dev/shm/pbf-spark-local-w{worker_id}")
+        # static config: per-worker warehouse so the ways_bucketed phase's
+        # bucketed tables never collide across concurrent workers
+        .config("spark.sql.warehouse.dir", f"/dev/shm/pbf-spark-scaling-wh-w{worker_id}")
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.files.openCostInBytes", "524288")
         .getOrCreate()
@@ -148,6 +151,32 @@ def main(fixture_dir: str, out_json: str, barrier_dir: str, worker_id: int, n_wo
     _barrier(barrier_dir, "ways", worker_id)
     ways_res = _window(ways_run, window_sec, cpu_fn)
 
+    # ways_bucketed phase: the SAME reassembly over refs/nodes stored
+    # BUCKETED by the node-id key — the layout a 100-TB deployment
+    # writes once at ingest. The join Exchange on both fact sides
+    # disappears (bucket-aware scans feed the SMJ directly), roughly
+    # halving per-run shuffle volume; only the way_id groupBy still
+    # shuffles. Table writes are setup (ingest-time), not timed.
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    n_buckets = max(cores * 4, 8)
+    wh = f"/dev/shm/pbf-spark-scaling-wh-w{worker_id}"
+    import shutil
+
+    shutil.rmtree(wh, ignore_errors=True)
+    for name in ("sc_refs", "sc_nodes"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    way_refs.select(
+        F.col("id").alias("way_id"), F.posexplode("refs").alias("pos", "ref")
+    ).write.bucketBy(n_buckets, "ref").sortBy("ref").mode("overwrite").saveAsTable("sc_refs")
+    node_coords.write.bucketBy(n_buckets, "id").sortBy("id").mode(
+        "overwrite"
+    ).saveAsTable("sc_nodes")
+    b_refs, b_nodes = spark.table("sc_refs"), spark.table("sc_nodes")
+    ways_b_run = lambda: force(ways_ops.assemble_way_geometries_from_refs(b_refs, b_nodes))
+    ways_b_run()  # warmup
+    _barrier(barrier_dir, "ways_bucketed", worker_id)
+    ways_b_res = _window(ways_b_run, window_sec, cpu_fn)
+
     out = {
         "worker_id": worker_id,
         "n_workers": n_workers,
@@ -160,6 +189,7 @@ def main(fixture_dir: str, out_json: str, barrier_dir: str, worker_id: int, n_wo
         "decode": decode_res,
         "pip": pip_res,
         "ways": ways_res,
+        "ways_bucketed": ways_b_res,
     }
     with open(out_json, "w") as f:
         json.dump(out, f)

@@ -32,6 +32,12 @@ x{w["replicate"]} fixture = {w["entities_per_run"]:,} entities /
             f"| way assembly (ways) | {a['ways_agg_per_sec']:,} | {b['ways_agg_per_sec']:,} "
             f"| {eff['way_assembly']} | {ceff['way_assembly']} |\n"
         )
+    if "ways_bucketed_agg_per_sec" in a:
+        table += (
+            f"| way assembly, bucketed layout (ways) | {a['ways_bucketed_agg_per_sec']:,} "
+            f"| {b['ways_bucketed_agg_per_sec']:,} "
+            f"| {eff['way_assembly_bucketed']} | {ceff['way_assembly_bucketed']} |\n"
+        )
     return table
 
 
