@@ -72,24 +72,34 @@ def run_size(k: int, cores: int, window: float, fixture_dir: str, zpath: Path, t
             subprocess.Popen(cmd, cwd=tmp, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         )
 
-    # coordinator: release each phase barrier once every worker is ready
-    for phase in ("decode", "pip", "ways", "ways_bucketed"):
-        deadline = time.time() + 900
-        while True:
-            ready = sum((barrier / f"ready_{phase}_{i}").exists() for i in range(k))
-            if ready == k:
-                break
-            if any(p.poll() not in (None, 0) for p in procs):
-                raise RuntimeError(f"worker died before {phase} barrier")
-            if time.time() > deadline:
-                raise TimeoutError(f"{phase} barrier: {ready}/{k} ready")
-            time.sleep(0.1)
-        (barrier / f"go_{phase}").touch()
-        print(f"== k={k}: released {phase} barrier", file=sys.stderr)
+    # coordinator: release each phase barrier once every worker is ready.
+    # Deadlines are generous (the k=4 setup between phases runs 4
+    # concurrent 2-core decode+cache passes and this host has documented
+    # multi-second page-fault storms); on ANY failure the workers are
+    # killed — an orphaned pinned JVM would poison every later window.
+    try:
+        for phase in ("decode", "pip", "ways", "ways_bucketed"):
+            deadline = time.time() + 2400
+            while True:
+                ready = sum((barrier / f"ready_{phase}_{i}").exists() for i in range(k))
+                if ready == k:
+                    break
+                if any(p.poll() not in (None, 0) for p in procs):
+                    raise RuntimeError(f"worker died before {phase} barrier")
+                if time.time() > deadline:
+                    raise TimeoutError(f"{phase} barrier: {ready}/{k} ready")
+                time.sleep(0.1)
+            (barrier / f"go_{phase}").touch()
+            print(f"== k={k}: released {phase} barrier", file=sys.stderr)
 
-    for p in procs:
-        if p.wait() != 0:
-            raise RuntimeError("worker failed")
+        for p in procs:
+            if p.wait() != 0:
+                raise RuntimeError("worker failed")
+    except BaseException:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        raise
     workers = [json.loads(o.read_text()) for o in outs]
 
     agg = {"k": k, "cores_per_worker": cores, "workers": workers}
@@ -131,7 +141,12 @@ def main() -> None:
     levels = {}
     for k in sizes:
         for rep in range(args.repeat):
-            r = run_size(k, args.cores_per_worker, args.window, fixture_dir, zpath, tmp, spark_submit, pin=not args.no_pin)
+            try:
+                r = run_size(k, args.cores_per_worker, args.window, fixture_dir, zpath, tmp, spark_submit, pin=not args.no_pin)
+            except Exception as exc:  # storm-stretched barrier / dead worker:
+                # a lost repeat must not scuttle the level's other repeats
+                print(f"== k={k} rep{rep} FAILED: {exc}", file=sys.stderr)
+                continue
             if k not in levels:
                 levels[k] = r
             else:  # keep per-phase best (stall-episode robustness)
@@ -142,6 +157,9 @@ def main() -> None:
                     levels[k][f"{ph}_cpu_us_per_unit"] = min(
                         levels[k][f"{ph}_cpu_us_per_unit"], r[f"{ph}_cpu_us_per_unit"]
                     )
+    missing = [k for k in sizes if k not in levels]
+    if missing:
+        raise RuntimeError(f"no successful repeat for sizes {missing}")
     lo, hi = min(sizes), max(sizes)
     factor = hi / lo
     eff = {

@@ -35,7 +35,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-def _barrier(barrier_dir: str, phase: str, worker_id: int, timeout: float = 600.0) -> None:
+def _barrier(barrier_dir: str, phase: str, worker_id: int, timeout: float = 2400.0) -> None:
     open(os.path.join(barrier_dir, f"ready_{phase}_{worker_id}"), "w").close()
     go = os.path.join(barrier_dir, f"go_{phase}")
     t0 = time.time()
