@@ -36,12 +36,18 @@ def stream_decode_documents(
     run_id: str = "stream",
     partitions: int | None = None,
     max_files_per_trigger: int | None = None,
+    tag_filter=None,
 ):
     """Run one availableNow streaming pass; returns the finished query.
 
     ``docs_table_dir``: the Iceberg-lite table dir (data/ holds parquet
     files; the file-stream source tracks files, which matches the
     append-only commit discipline).
+
+    ``tag_filter``: the decode-side predicate pushdown (operators/decode
+    ``decode_blobs``) — a replication-style "extract POIs as they
+    arrive" stream materializes Arrow rows only for matching entities;
+    lineage then records the POST-filter counts per partition.
     """
     reader = (
         spark.readStream.schema(DOCUMENT_SCHEMA)
@@ -52,7 +58,9 @@ def stream_decode_documents(
     docs_stream = reader.parquet(str(Path(docs_table_dir) / "data"))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        entities = decode_documents(batch_df, media_blobs, partitions=partitions)
+        entities = decode_documents(
+            batch_df, media_blobs, partitions=partitions, tag_filter=tag_filter
+        )
         entities.persist()
         try:
             entities.write.mode("append").parquet(str(output_dir))

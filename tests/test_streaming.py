@@ -439,3 +439,36 @@ def test_observed_decode_metrics(spark, fixture_dir, fixture_manifest, blobs):
     assert got["rows"] == fixture_manifest["total_entities"]
     assert got["nodes"] == fixture_manifest["counts"]["node"]
     assert got["ways"] == fixture_manifest["counts"]["way"]
+
+
+def test_stream_decode_with_tag_filter(spark, fixture_dir, blobs, tmp_path_factory):
+    """The decode-side tag predicate pushdown composes with the
+    checkpointed stream: the streamed+filtered output must equal the
+    batch decode filtered in Spark, and lineage reconciles with the
+    POST-filter row count."""
+    tmp = tmp_path_factory.mktemp("stream_tf")
+    out, ckpt, lin = tmp / "entities", tmp / "ckpt", tmp / "lineage"
+    stream_decode_documents(
+        spark,
+        fixture_dir / "documents_interleaved",
+        blobs,
+        out,
+        ckpt,
+        lin,
+        run_id="tf",
+        tag_filter=["highway"],
+    )
+    got = spark.read.parquet(str(out))
+    docs = iceberg_lite.read_table(spark, fixture_dir / "documents_interleaved")
+    expected = decode.decode_documents(docs, blobs).where(
+        F.exists("tags", lambda t: t["key"] == F.lit("highway"))
+    )
+    n_exp = expected.count()
+    assert 0 < got.count() == n_exp
+    assert (
+        got.select("entity_type", "id")
+        .exceptAll(expected.select("entity_type", "id"))
+        .isEmpty()
+    )
+    lin_df = lineage.read_lineage(spark, lin)
+    assert lin_df.agg(F.sum("n_rows")).first()[0] == n_exp
