@@ -60,3 +60,22 @@ def latest_versions(
             F.col("info").isNull() | F.coalesce(F.col("info.visible"), F.lit(True))
         )
     return latest
+
+
+def apply_diff(
+    snapshot: DataFrame,
+    diff: DataFrame,
+    drop_deleted: bool = True,
+) -> DataFrame:
+    """Apply a replication diff (osmChange-shaped entity rows: creates,
+    modifies, and deletes as ``info.visible = false``) to a snapshot —
+    the incremental-update operator for minutely/hourly OSM replication.
+    Exactly :func:`latest_versions` over the union, so re-applying the
+    same diff (or overlapping diffs, which replication replay produces)
+    is idempotent. One shuffle on (entity_type, id); scales with the
+    union's row count, and at 100 TB the snapshot side can be
+    pre-bucketed by the same key to shuffle only the (tiny) diff."""
+    return latest_versions(
+        snapshot.unionByName(diff, allowMissingColumns=True),
+        drop_deleted=drop_deleted,
+    )

@@ -171,3 +171,65 @@ def test_ring_metrics_degenerate_centroid_fallback(spark):
     assert r["area_km2"] == 0.0
     assert r["centroid_lat"] == pytest.approx(51.5)
     assert r["centroid_lon"] == pytest.approx(0.0)
+
+
+def test_apply_diff_replication(spark):
+    """apply_diff = latest_versions over snapshot ∪ diff: creates land,
+    modifies replace, visible=false deletes remove, stale diff rows
+    (older than the snapshot's version) never regress, and re-applying
+    the same diff is a no-op (replication replay idempotence)."""
+    from pbf_spark.operators.history import apply_diff
+
+    def mk(rows):
+        return small_df(
+            spark,
+            [
+                (
+                    t,
+                    i,
+                    {
+                        "version": v,
+                        "uid": 7,
+                        "ts": datetime.datetime(2024, 1, 1, 0, 0, ts // 100),
+                        "changeset": 1,
+                        "user": "u",
+                        "visible": vis,
+                    },
+                )
+                for t, i, v, ts, vis in rows
+            ],
+            "entity_type string, id long, info struct<version:int,uid:int,ts:timestamp,changeset:long,user:string,visible:boolean>",
+        )
+
+    snapshot = mk(
+        [
+            ("node", 1, 2, 100, True),
+            ("node", 2, 1, 100, True),
+            ("node", 3, 4, 100, True),
+        ]
+    )
+    diff = mk(
+        [
+            ("node", 1, 3, 200, True),   # modify
+            ("node", 2, 2, 200, False),  # delete
+            ("node", 3, 2, 50, True),    # STALE replay row: must not regress
+            ("node", 4, 1, 200, True),   # create
+        ]
+    )
+    out = apply_diff(snapshot, diff)
+    snap = {(r["entity_type"], r["id"]): r for r in out.collect()}
+    assert snap[("node", 1)]["info"]["version"] == 3
+    assert ("node", 2) not in snap
+    assert snap[("node", 3)]["info"]["version"] == 4
+    assert snap[("node", 4)]["info"]["version"] == 1
+
+    # idempotent under replay
+    again = apply_diff(out, diff)
+    assert sorted((r["entity_type"], r["id"], r["info"]["version"]) for r in again.collect()) == sorted(
+        (r["entity_type"], r["id"], r["info"]["version"]) for r in out.collect()
+    )
+
+    # history mode keeps the delete row itself
+    kept = apply_diff(snapshot, diff, drop_deleted=False)
+    hist = {(r["entity_type"], r["id"]): r for r in kept.collect()}
+    assert hist[("node", 2)]["info"]["visible"] is False
