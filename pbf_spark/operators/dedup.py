@@ -87,6 +87,29 @@ def jaccard_pairs(
     return F.round(inter / F.greatest(union, F.lit(1)), 6).alias(as_name)
 
 
+# Persisted intermediates of the PREVIOUS minhash_lsh_pairs invocation.
+# persist() is the fast reuse mechanism for the frames consumed by
+# several join branches within ONE invocation (localCheckpoint measured
+# ~2x slower here: it bypasses AQE and the columnar cache), but the
+# CacheManager matches plans ACROSS invocations — a re-run (bench
+# warmup + timed repeats) would silently reuse the previous run's
+# signatures instead of recomputing from the inputs. Unpersisting the
+# prior invocation's frames at construction time guarantees every
+# invocation computes fresh while keeping intra-invocation reuse.
+_PREV_PERSISTS: list[DataFrame] = []
+
+
+def _drop_prev_persists() -> None:
+    """Must run BEFORE the new invocation's persist() calls: persisting
+    a plan identical to a still-cached one keeps the OLD entry, so
+    dropping the old one afterwards would leave the new frame uncached."""
+    while _PREV_PERSISTS:
+        try:
+            _PREV_PERSISTS.pop().unpersist()
+        except Exception:
+            pass  # session may be gone; nothing to free
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -122,6 +145,7 @@ def minhash_lsh_pairs(
     that a refinement hash CAN split).
     """
     rows_per_band = n_hashes // bands
+    _drop_prev_persists()
     sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n)
     band_cols = [
         F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
@@ -130,6 +154,12 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_cols)
+    # persist: `stacked` feeds BOTH halves of the bucket self-join (and
+    # the census when max_bucket is set) — without it the whole
+    # tokenize→shingle→md5 signature pipeline executes once per consumer
+    # (exchange reuse does NOT cover it: with AQE the join sides compile
+    # as independent stages). Cross-invocation reuse is prevented by
+    # _rotate_persists below.
     stacked = banded.select(
         F.col(id_col),
         F.explode(
@@ -140,13 +170,9 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    ).select(id_col, "bk.band", "bk.key").persist()
     if max_bucket is not None:
-        # the census + both self-join sides re-derive `stacked` (the
-        # whole tokenize→shingle→md5 signature pipeline) without this:
-        # persist it once; it is only (id, band, key) rows
-        base = stacked.persist()
-        stacked = base
+        base = stacked
         # refinement hash: one more portable minhash in its own '#r'
         # namespace (independent of the banded signature bits)
         refine = df.withColumn("_t", tokens_col(text_col)).withColumn(
@@ -174,10 +200,7 @@ def minhash_lsh_pairs(
             .persist()  # re-keyed side feeds BOTH halves of the self-join
         )
         # materialize the re-keyed frame THROUGH the base cache, then
-        # release the base — otherwise the shadowed persist leaks
-        # executor storage across calls (nothing can unpersist it once
-        # the name is rebound). The re-keyed persist itself is released
-        # by the caller's clearCache (or GC of the returned plan).
+        # release the base (nothing references it anymore)
         stacked.count()
         base.unpersist()
     a = stacked.alias("a")
@@ -188,9 +211,12 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+    # persist: the distinct-shingle table is joined TWICE (id_a and id_b
+    # sides of the verify) — one tokenize+shingle pass instead of two
     sh = df.withColumn("_t", tokens_col(text_col)).select(
         F.col(id_col), F.array_distinct(shingles_col(text_col, shingle_n)).alias("_sh")
-    )
+    ).persist()
+    _PREV_PERSISTS.extend((stacked, sh))
     verified = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")

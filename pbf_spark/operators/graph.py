@@ -47,14 +47,27 @@ def connected_components(
     Raises ``RuntimeError`` if ``max_iter`` rounds pass without
     convergence (diameter > max_iter — raise it, or pre-contract).
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).where(F.col("a") != F.col("b"))
+    # Materialize the symmetrized edge list ONCE: every round joins
+    # against it, and without the checkpoint each round re-executes the
+    # edge list's ENTIRE upstream pipeline (for near-dup clustering that
+    # is the full tokenize→minhash→LSH-join→verify computation — measured
+    # as a per-round repeat of the whole LSH cost before this fix).
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .localCheckpoint(eager=False)
+    )
 
     labels = sym.select(F.col("a").alias("id")).distinct()
     if vertices is not None:
         labels = labels.union(vertices.select(F.col(vertices.columns[0]).alias("id"))).distinct()
     labels = labels.select("id", F.col("id").alias("component")).localCheckpoint()
+    prev = labels
+
+    # free each round's superseded checkpoint (executor storage would
+    # otherwise grow linearly with rounds)
+    from ..util import release_checkpoint as _release
 
     for _ in range(max_iter):
         nbr_min = (
@@ -72,8 +85,11 @@ def connected_components(
             .localCheckpoint()
         )
         changed = merged.where(F.col("_new") < F.col("component")).count()
+        _release(prev)
+        prev = merged
         labels = merged.select("id", F.col("_new").alias("component"))
         if changed == 0:
+            _release(sym)
             return labels
     raise RuntimeError(
         f"connected_components: no convergence in {max_iter} rounds "

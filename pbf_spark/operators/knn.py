@@ -119,9 +119,16 @@ def knn_join(
     pts = pts.cache()
     cached = [pts]
 
+    # cache round-1's query frame too: the expansion loop references it
+    # from several actions (candidate join per round, done-id semi/anti
+    # joins, the final union materialization), and without the cache
+    # each one re-executes the caller's ENTIRE query-side pipeline —
+    # for queries derived from a repartitioned fact scan that is a full
+    # exchange of the fact table per action
     remaining = queries.select(
         "query_id", F.col("lat").alias("_q_lat"), F.col("lon").alias("_q_lon")
-    ).withColumn("_q_cell", hex_cell_udf(res)(F.col("_q_lat"), F.col("_q_lon")))
+    ).withColumn("_q_cell", hex_cell_udf(res)(F.col("_q_lat"), F.col("_q_lon"))).cache()
+    cached.append(remaining)
 
     # guaranteed covered disc radius around any point of the query cell
     # after a k-ring of radius r. Provable margin: gnomonic radial
@@ -152,7 +159,11 @@ def knn_join(
             )
         )
         w = Window.partitionBy("query_id").orderBy(F.col(DIST_M).asc(), F.col("_p_id").asc())
-        ranked = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        # cache: ≤ k rows per query, but its subtree is the round's whole
+        # candidate join — consumed by stats, the done-id semi join and
+        # the final union (3+ executions otherwise)
+        ranked = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k).cache()
+        cached.append(ranked)
         stats = ranked.groupBy("query_id").agg(
             F.count("*").alias("_n"), F.max(DIST_M).alias("_kth")
         )

@@ -46,6 +46,27 @@ def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
 
 
+def _parallel(df: DataFrame, key: str) -> DataFrame:
+    """Spread an unsplittable scan across the cluster before expensive
+    per-row work. The driver tables are single-row-group parquet files —
+    a row group cannot be split, so every downstream expression (cell
+    UDFs, md5 pipelines, ray casts) otherwise runs in ONE task no matter
+    the core count. One cheap keyed exchange of the raw rows fixes that
+    (hash on a unique key: even spread, deterministic, and no
+    round-robin sort-before-repartition cost). Partition count follows
+    the session's parallelism, so it scales with the cluster instead of
+    being tuned to one machine."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(key))
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table with the scan parallelized (see _parallel): the
+    text operators all do per-row tokenize/md5 work that is orders of
+    magnitude heavier than the 300-char rows being exchanged."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return _parallel(docs, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # relational suite (classic analytics surface — Catalyst built-ins only)
 # ---------------------------------------------------------------------------
@@ -166,6 +187,8 @@ ORDER BY c_nationkey, rank_in_nation
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _tables(spark, sf_dir, "events")
+    # countDistinct's partial phase is the heavy part and runs pre-shuffle
+    ev = _parallel(ev, "event_id")
     return (
         ev.groupBy(
             F.date_trunc("hour", "ts").alias("hour"), F.col("event_type").alias("event_type")
@@ -202,8 +225,15 @@ _LON_EXPR = (
 )
 
 
-def event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+def event_points(spark: SparkSession, sf_dir: str, parallel: bool = True) -> DataFrame:
     (ev,) = _tables(spark, sf_dir, "events")
+    # every spatial query funnels through this projection and then does
+    # heavy per-point work (cell UDFs, ancestor explode, ray cast) —
+    # parallelize the single-row-group scan first. ``parallel=False`` is
+    # for tiny highly-filtered derivations (e.g. the kNN query points)
+    # where the exchange would cost more than it parallelizes.
+    if parallel:
+        ev = _parallel(ev, "event_id")
     return ev.select(
         F.col("event_id").alias("id"),
         F.expr(_LAT_EXPR).alias("lat"),
@@ -402,7 +432,14 @@ def _relation_fixture_polys(spark: SparkSession) -> DataFrame:
         [(9, members)],
         "id long, members array<struct<ref:long,type:string,role:string>>",
     )
-    return assemble_multipolygons(rel_df, ways_df, nodes_df).select("polygon_id", "rings")
+    # localCheckpoint: build_polygon_index scans the polygon frame twice
+    # (covering + edges) — without this the whole stitch pipeline
+    # (applyInPandas + 4 joins) executes twice per call
+    return (
+        assemble_multipolygons(rel_df, ways_df, nodes_df)
+        .select("polygon_id", "rings")
+        .localCheckpoint()
+    )
 
 
 def pip_relation_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,8 +548,12 @@ def knn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.knn import knn_join
 
     pts = event_points(spark, sf_dir)
+    # query side: 20 rows survive the filter — build them from the plain
+    # scan (parallel=False) so the knn loop's repeated references don't
+    # re-execute the fact-side exchange
     queries = (
-        pts.where(F.col("id") % 500 == 0)
+        event_points(spark, sf_dir, parallel=False)
+        .where(F.col("id") % 500 == 0)
         .where(F.col("id") < 10000)
         .select(F.col("id").alias("query_id"), "lat", "lon")
     )
@@ -638,7 +679,7 @@ ORDER BY n_points DESC, tile_cell LIMIT 50
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import token_stats
 
-    (docs,) = _tables(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return token_stats(docs).orderBy("doc_id")
 
 
@@ -655,7 +696,7 @@ FROM documents ORDER BY doc_id
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import quality_score
 
-    (docs,) = _tables(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return quality_score(docs).orderBy("doc_id")
 
 
@@ -681,7 +722,7 @@ FROM m ORDER BY doc_id
 def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import lang_id
 
-    (docs,) = _tables(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return lang_id(docs).orderBy("doc_id")
 
 
@@ -718,7 +759,7 @@ LANGID_SQL = _langid_sql()
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import exact_dedup
 
-    (docs,) = _tables(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return exact_dedup(docs).orderBy("fingerprint")
 
 
@@ -732,7 +773,7 @@ FROM documents GROUP BY 1 ORDER BY fingerprint
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import fingerprint
 
-    (docs,) = _tables(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return fingerprint(docs).orderBy("doc_id")
 
 
@@ -745,7 +786,7 @@ FROM documents ORDER BY doc_id
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_signature
 
-    (docs,) = _tables(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return minhash_signature(docs, n_hashes=4).orderBy("doc_id")
 
 
@@ -770,7 +811,7 @@ FROM sh ORDER BY doc_id
 def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_lsh_pairs
 
-    (docs,) = _tables(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return minhash_lsh_pairs(docs, n_hashes=8, bands=4, threshold=0.5).orderBy("id_a", "id_b")
 
 
@@ -847,7 +888,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same pair graph and labels it with a recursive min-label CTE."""
     from .operators.dedup import near_dup_clusters
 
-    (docs,) = _tables(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return near_dup_clusters(docs, n_hashes=8, bands=4, threshold=0.5).orderBy("doc_id")
 
 
@@ -855,6 +896,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.simsearch import cosine_topk
 
     (emb,) = _tables(spark, sf_dir, "embeddings")
+    emb = _parallel(emb, "vec_id")  # per-row dot products dwarf the exchange
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -884,7 +926,7 @@ ORDER BY q_id, rank
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash
 
-    (docs,) = _tables(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return simhash(docs).orderBy("doc_id")
 
 
@@ -1112,14 +1154,15 @@ def bbox_pruned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned read path — directory pruning at plan time, z-range parquet
     pushdown at scan time, exact lat/lon refine last. The oracle is the
     plain bbox filter; identical rows prove the pruning lost nothing.
-    (The temp table outlives the call — the returned DataFrame still
-    scans it; OS tmp reaps it.)"""
-    import tempfile
-
+    The scratch table lives under a session-scoped tmpfs dir and is
+    OVERWRITTEN on every call (the table must outlive the call — the
+    returned DataFrame still scans it — but the leak is bounded to one
+    copy per session instead of one per invocation)."""
     from .operators import cluster as cl
 
     pts = event_points(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="pbf_zorder_") + "/pts"
+    app_id = spark.sparkContext.applicationId
+    path = f"/dev/shm/pbf-spark-scratch/{app_id}/zorder_pts"
     cl.write_clustered(pts, path, zoom=16, prefix_zoom=11, target_partitions=8)
     got = cl.read_bbox(
         spark,
@@ -1149,7 +1192,7 @@ def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the identical md5 bucket in DuckDB."""
     from .operators.sample import hash_split
 
-    (docs,) = _tables(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return (
         hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
         .select("doc_id", "split")

@@ -16,3 +16,18 @@ def small_df(spark: SparkSession, rows: list, schema) -> DataFrame:
     """
     sc = spark.sparkContext
     return spark.createDataFrame(sc.parallelize(rows, numSlices=1), schema)
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Free the cached RDD behind a ``localCheckpoint``ed DataFrame.
+
+    ``df.unpersist()`` only touches the SQL cache; a localCheckpoint is
+    RDD-level storage. ``queryExecution().toRdd()`` on the checkpointed
+    plan IS the stored RDD (unlike ``df.rdd``, which wraps it in a fresh
+    deserializer), so unpersisting it releases the executor storage.
+    Best-effort: failure means storage pressure, never wrong results.
+    """
+    try:
+        df._jdf.queryExecution().toRdd().unpersist(False)
+    except Exception:
+        pass
