@@ -39,6 +39,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE rewrite sort-merge joins to shuffled-hash at runtime
+        # when every post-shuffle partition's build side fits locally
+        # (skips both sort passes of the big fact-fact joins, e.g. way
+        # assembly's refs×nodes). 64m per-partition build is well inside
+        # a task's execution memory at any deployment size; partitions
+        # bigger than that keep sort-merge and its graceful spill.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
