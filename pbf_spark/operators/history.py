@@ -66,16 +66,45 @@ def apply_diff(
     snapshot: DataFrame,
     diff: DataFrame,
     drop_deleted: bool = True,
+    snapshot_unique: bool = True,
 ) -> DataFrame:
     """Apply a replication diff (osmChange-shaped entity rows: creates,
     modifies, and deletes as ``info.visible = false``) to a snapshot —
     the incremental-update operator for minutely/hourly OSM replication.
-    Exactly :func:`latest_versions` over the union, so re-applying the
-    same diff (or overlapping diffs, which replication replay produces)
-    is idempotent. One shuffle on (entity_type, id); scales with the
-    union's row count, and at 100 TB the snapshot side can be
-    pre-bucketed by the same key to shuffle only the (tiny) diff."""
-    return latest_versions(
-        snapshot.unionByName(diff, allowMissingColumns=True),
-        drop_deleted=drop_deleted,
+    Semantically :func:`latest_versions` over the union, so re-applying
+    the same diff (or overlapping diffs, which replication replay
+    produces) is idempotent.
+
+    Scale shape (``snapshot_unique=True``, the snapshot contract: at
+    most one row per (entity_type, id)): the diff's key set is tiny and
+    broadcast, so snapshot rows the diff does not touch PASS THROUGH
+    with no exchange at all — the only shuffled data is the touched
+    subset (O(|diff|) keys) plus the diff itself. A minutely diff
+    against a 100-TB snapshot moves megabytes, not the snapshot; this
+    strictly dominates pre-bucketing the snapshot (which would still
+    shuffle nothing but also still scan-and-window every row, because
+    the window sits above the union and a union has no bucketing).
+    Equivalence to the union form holds exactly because latest-per-key
+    over a single-row group is the identity and the visibility filter
+    is row-local (both applied to the pass-through branch).
+
+    ``snapshot_unique=False`` falls back to the full-union window for
+    left sides that are NOT snapshots (multiple versions per key)."""
+    if not snapshot_unique:
+        return latest_versions(
+            snapshot.unionByName(diff, allowMissingColumns=True),
+            drop_deleted=drop_deleted,
+        )
+    keys = ["entity_type", "id"]
+    changed = diff.select(*keys).distinct()
+    untouched = snapshot.join(F.broadcast(changed), keys, "left_anti")
+    if drop_deleted:
+        untouched = untouched.where(
+            F.col("info").isNull() | F.coalesce(F.col("info.visible"), F.lit(True))
+        )
+    touched = snapshot.join(F.broadcast(changed), keys, "left_semi").unionByName(
+        diff, allowMissingColumns=True
+    )
+    return untouched.unionByName(
+        latest_versions(touched, drop_deleted=drop_deleted), allowMissingColumns=True
     )

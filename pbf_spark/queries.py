@@ -1115,7 +1115,10 @@ def latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-version snapshot (P16) oracle twin: the newest event per
     (user_id, event_type) via operators/history.latest_by_key — the
     exact window primitive latest_versions runs over (entity_type, id)
-    on OSM history/replication streams. One hash exchange on the key."""
+    on OSM history/replication streams. One hash exchange on the key.
+    (A partial-aggregating max_by form was measured 0.4-0.5 s SLOWER
+    here — per-row struct building costs more than the window's
+    parallel sort — so the window form stays; see OPTIMIZATION_r06.md.)"""
     from .operators.history import latest_by_key
 
     (ev,) = _tables(spark, sf_dir, "events")

@@ -274,3 +274,51 @@ def test_apply_diff_replication(spark):
     kept = apply_diff(snapshot, diff, drop_deleted=False)
     hist = {(r["entity_type"], r["id"]): r for r in kept.collect()}
     assert hist[("node", 2)]["info"]["visible"] is False
+
+    # the diff-only-shuffle fast path must equal the full-union window
+    for dd in (True, False):
+        fast = apply_diff(snapshot, diff, drop_deleted=dd)
+        slow = apply_diff(snapshot, diff, drop_deleted=dd, snapshot_unique=False)
+        assert fast.exceptAll(slow).isEmpty() and slow.exceptAll(fast).isEmpty()
+
+
+def test_apply_diff_snapshot_side_no_exchange(spark):
+    """Plan contract (r5 VERDICT item 5): apply_diff must NOT shuffle
+    the snapshot — untouched rows pass through with no exchange; the
+    only (entity_type, id) hash exchange is the window over the touched
+    O(|diff|) subset, and the diff key set arrives by broadcast."""
+    import datetime
+
+    from pbf_spark.operators.history import apply_diff
+
+    schema = (
+        "entity_type string, id long, info struct<version:int,uid:int,"
+        "ts:timestamp,changeset:long,user:string,visible:boolean>"
+    )
+    info = lambda v: {
+        "version": v,
+        "uid": 7,
+        "ts": datetime.datetime(2024, 1, 1),
+        "changeset": 1,
+        "user": "u",
+        "visible": True,
+    }
+    snapshot = small_df(spark, [("node", i, info(1)) for i in range(200)], schema)
+    diff = small_df(spark, [("node", 3, info(2)), ("node", 777, info(1))], schema)
+    out = apply_diff(snapshot, diff)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # the snapshot enters ONLY as the probe side of broadcast joins —
+    # and a broadcast join's probe side is never shuffled, so no
+    # snapshot row crosses an exchange except the diff-touched subset
+    # that survives the LeftSemi filter BELOW the window exchange.
+    # (The remaining hashpartitioning(entity_type...) exchanges are the
+    # diff-side key distinct and the touched-subset window — both
+    # O(|diff|).)
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+    assert "BroadcastHashJoin LeftSemi BuildRight" in plan
+    assert "BroadcastExchange" in plan
+    # and the result is correct
+    got = {(r["entity_type"], r["id"]): r["info"]["version"] for r in out.collect()}
+    assert got[("node", 3)] == 2 and got[("node", 777)] == 1 and len(got) == 201

@@ -472,3 +472,40 @@ def test_stream_decode_with_tag_filter(spark, fixture_dir, blobs, tmp_path_facto
     )
     lin_df = lineage.read_lineage(spark, lin)
     assert lin_df.agg(F.sum("n_rows")).first()[0] == n_exp
+
+
+def test_stream_tag_filter_survives_restart(spark, fixture_dir, blobs, tmp_path_factory):
+    """r5 VERDICT item 7: the tag-predicate pushdown stays active across
+    a checkpoint kill-and-resume — files arriving after the restart are
+    decoded once WITH the filter, old files are never re-decoded, and
+    lineage reconciles with the post-filter totals."""
+    import shutil
+
+    tmp = tmp_path_factory.mktemp("stream_tf_restart")
+    staged = tmp / "docs_table" / "data"
+    staged.mkdir(parents=True)
+    src_files = sorted((fixture_dir / "documents_interleaved" / "data").glob("*.parquet"))
+    shutil.copy(src_files[0], staged / "part-a.parquet")
+
+    out, ckpt, lin = tmp / "entities", tmp / "ckpt", tmp / "lineage"
+    kw = dict(tag_filter=["highway"])
+    stream_decode_documents(
+        spark, tmp / "docs_table", blobs, out, ckpt, lin, run_id="tfr1", **kw
+    )
+    n1 = spark.read.parquet(str(out)).count()
+    assert n1 > 0
+
+    # kill-and-resume with a new file: filter still applied, no re-decode
+    shutil.copy(src_files[0], staged / "part-b.parquet")
+    stream_decode_documents(
+        spark, tmp / "docs_table", blobs, out, ckpt, lin, run_id="tfr2", **kw
+    )
+    got = spark.read.parquet(str(out))
+    assert got.count() == 2 * n1
+    # every surviving row satisfies the pushed predicate
+    assert got.where(
+        ~F.exists("tags", lambda t: t["key"] == F.lit("highway"))
+    ).isEmpty()
+    # lineage totals reconcile with the post-filter output across BOTH runs
+    lin_df = lineage.read_lineage(spark, lin)
+    assert lin_df.agg(F.sum("n_rows")).first()[0] == 2 * n1
