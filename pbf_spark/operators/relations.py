@@ -26,7 +26,11 @@ closed rings → the ``(polygon_id, rings)`` schema
    (``n_unclosed_rings``) and EXCLUDED from the output rings — an
    unclosed chain would otherwise be implicitly closed by the even-odd
    edge wrap and corrupt containment. Members referencing ways absent
-   from the ways table are counted in ``n_missing_ways``.
+   from the ways table are counted in ``n_missing_ways``. Rings whose
+   member ways lost NODES (the chain closed on ids but the geometry has
+   holes — clipped extracts again) are demoted the same way and counted
+   in ``n_node_missing_rings`` (round-5 ADVICE: they were silently
+   emitted as closed polygons before).
 """
 
 from __future__ import annotations
@@ -104,7 +108,8 @@ def assemble_multipolygons(
     nodes: DataFrame,
     id_prefix: str = "rel_",
 ) -> DataFrame:
-    """→ (polygon_id, rings, n_rings, n_unclosed_rings, n_missing_ways).
+    """→ (polygon_id, rings, n_rings, n_unclosed_rings, n_missing_ways,
+    n_node_missing_rings).
 
     ``relations``: rows with (id, members array<struct<ref,type,role>>)
     — pass decoded entities filtered to ``entity_type='relation'`` (and
@@ -140,15 +145,19 @@ def assemble_multipolygons(
 
     stitched = m2.groupBy("rel_id").applyInPandas(_stitch, _STITCH_SCHEMA)
 
-    # geometries only for ways that made it into a closed ring
+    # geometries only for ways that made it into a closed ring.
+    # how='left' + the demotion below (round-5 ADVICE): a ring whose
+    # member ways lost nodes — or whole ways — on a clipped extract is
+    # geometrically corrupt even though its node-ID chain closed; it
+    # must NOT be emitted as a polygon ring.
     member_ways = ways.join(
         members.select(F.col("way_id").alias("id")).distinct(), "id", "left_semi"
     )
-    geoms = assemble_way_geometries(member_ways, nodes, how="inner")
+    geoms = assemble_way_geometries(member_ways, nodes, how="left")
 
     ring_ways = (
         stitched.where("closed")
-        .join(geoms.withColumnRenamed("id", "way_id"), "way_id")
+        .join(geoms.withColumnRenamed("id", "way_id"), "way_id", "left")
         .select(
             "rel_id",
             "ring_idx",
@@ -159,12 +168,22 @@ def assemble_multipolygons(
             F.when(F.col("reversed"), F.reverse("way_lons"))
             .otherwise(F.col("way_lons"))
             .alias("lons"),
+            (
+                F.col("way_lats").isNull() | (F.coalesce("n_missing", F.lit(1)) > 0)
+            ).alias("_degraded"),
         )
     )
-    rings = (
-        ring_ways.groupBy("rel_id", "ring_idx")
-        .agg(F.array_sort(F.collect_list(F.struct("seq", "lats", "lons"))).alias("_segs"))
-        .select("rel_id", "ring_idx", F.expr(_RING_PTS_EXPR).alias("_pts"))
+    ring_groups = ring_ways.groupBy("rel_id", "ring_idx").agg(
+        F.array_sort(F.collect_list(F.struct("seq", "lats", "lons"))).alias("_segs"),
+        F.max("_degraded").alias("_bad"),
+    )
+    demoted = (
+        ring_groups.where("_bad")
+        .groupBy("rel_id")
+        .agg(F.count("*").alias("n_node_missing_rings"))
+    )
+    rings = ring_groups.where(~F.col("_bad")).select(
+        "rel_id", "ring_idx", F.expr(_RING_PTS_EXPR).alias("_pts")
     )
     per_rel = (
         rings.groupBy("rel_id")
@@ -192,12 +211,17 @@ def assemble_multipolygons(
             ),
         )
     )
-    return per_rel.join(accounting, "rel_id", "left").select(
-        F.concat(F.lit(id_prefix), F.col("rel_id").cast("string")).alias("polygon_id"),
-        "rings",
-        "n_rings",
-        F.coalesce("n_unclosed_rings", F.lit(0)).alias("n_unclosed_rings"),
-        F.coalesce("n_missing_ways", F.lit(0)).alias("n_missing_ways"),
+    return (
+        per_rel.join(accounting, "rel_id", "left")
+        .join(demoted, "rel_id", "left")
+        .select(
+            F.concat(F.lit(id_prefix), F.col("rel_id").cast("string")).alias("polygon_id"),
+            "rings",
+            "n_rings",
+            F.coalesce("n_unclosed_rings", F.lit(0)).alias("n_unclosed_rings"),
+            F.coalesce("n_missing_ways", F.lit(0)).alias("n_missing_ways"),
+            F.coalesce("n_node_missing_rings", F.lit(0)).alias("n_node_missing_rings"),
+        )
     )
 
 

@@ -423,11 +423,18 @@ def _scan_spans_vec(
 
     term_idx = np.flatnonzero((b & 0x80) == 0)  # candidate varint terminators
 
-    def _varint_ends(p: np.ndarray) -> np.ndarray:
+    def _varint_ends(p: np.ndarray, owner_end: np.ndarray) -> np.ndarray:
         loc = np.searchsorted(term_idx, p)
         if loc.size and loc.max() >= term_idx.size:
             raise ValueError("truncated varint run")
-        return term_idx[loc]
+        ends = term_idx[loc]
+        # the terminator index is buffer-global: a varint truncated at
+        # its message boundary would otherwise resolve its terminator
+        # inside the NEXT message's bytes and decode garbage silently —
+        # every varint must end inside the message that owns it
+        if loc.size and (ends >= owner_end).any():
+            raise ValueError("varint crosses message boundary (truncated message)")
+        return ends
 
     pos = msg_starts.astype(np.int64, copy=True)
     end = np.asarray(msg_ends, dtype=np.int64)
@@ -436,7 +443,8 @@ def _scan_spans_vec(
         p = pos[active]
         # field key is itself a varint (multi-byte for field number > 15
         # — unknown high-numbered fields are spec-legal and must skip)
-        ke = _varint_ends(p)
+        oe = end[active]
+        ke = _varint_ends(p, oe)
         key = _gather_varints(b, p, ke)
         f = (key >> np.uint64(3)).astype(np.int64)
         wt = (key & np.uint64(7)).astype(np.uint8)
@@ -445,7 +453,7 @@ def _scan_spans_vec(
         m0 = wt == WT_VARINT
         if m0.any():
             vp = p1[m0]
-            ve = _varint_ends(vp)
+            ve = _varint_ends(vp, oe[m0])
             vals = _gather_varints(b, vp, ve).view(np.int64)
             fv = f[m0]
             rows0 = active[m0]
@@ -458,7 +466,7 @@ def _scan_spans_vec(
         m2 = wt == WT_LEN
         if m2.any():
             lp = p1[m2]
-            le = _varint_ends(lp)
+            le = _varint_ends(lp, oe[m2])
             lns = _gather_varints(b, lp, le).astype(np.int64)
             ps = le + 1
             fl = f[m2]

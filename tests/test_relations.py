@@ -123,3 +123,34 @@ def test_multipolygon_relation_filter(spark):
         "entity_type string, id long, tags array<struct<key:string,value:string>>",
     )
     assert {r["id"] for r in multipolygon_relations(ents).collect()} == {1, 3}
+
+
+def test_ring_with_missing_nodes_is_demoted(spark):
+    """Round-5 ADVICE: a ring whose member way lost nodes (clipped
+    extract) closes on node IDS but its geometry is corrupt — it must
+    be excluded from ``rings`` and counted, not silently emitted."""
+    from pbf_spark.operators.relations import assemble_multipolygons
+    from pbf_spark.util import small_df
+
+    sq1 = [(51.0, 0.0), (51.0, 0.1), (51.1, 0.1), (51.1, 0.0)]
+    sq2 = [(52.0, 0.0), (52.0, 0.1), (52.1, 0.1), (52.1, 0.0)]
+    nodes = [(10 + i, la, lo) for i, (la, lo) in enumerate(sq1)]
+    # square 2's node 22 is MISSING from the node table
+    nodes += [(20 + i, la, lo) for i, (la, lo) in enumerate(sq2) if i != 2]
+    nodes_df = small_df(spark, nodes, "id long, lat double, lon double")
+    ways_df = small_df(
+        spark,
+        [(1, [10, 11, 12, 13, 10]), (2, [20, 21, 22, 23, 20])],
+        "id long, refs array<long>",
+    )
+    rel_df = small_df(
+        spark,
+        [(5, [(1, "way", "outer"), (2, "way", "outer")])],
+        "id long, members array<struct<ref:long,type:string,role:string>>",
+    )
+    (row,) = assemble_multipolygons(rel_df, ways_df, nodes_df).collect()
+    assert row["n_rings"] == 1                  # only the intact square
+    assert row["n_node_missing_rings"] == 1     # the clipped one, demoted
+    assert row["n_unclosed_rings"] == 0
+    got = {(p["lat"], p["lon"]) for p in row["rings"][0]}
+    assert got == set(sq1)                      # clipped ring's points absent

@@ -334,3 +334,32 @@ def test_cli_info(capsys):
     j = _json.loads(capsys.readouterr().out)
     assert j["node_count"] == 290
     assert main(["info", "/nonexistent.osm.pbf"]) == 1
+
+
+def test_scan_spans_vec_rejects_varint_crossing_message_boundary():
+    """A varint truncated at its message boundary must raise, not
+    resolve its terminator inside the NEXT message's bytes (round-5
+    ADVICE: the buffer-global terminator index made this silent)."""
+    import numpy as np
+    import pytest
+
+    from pbf_spark.wire.osmformat import _scan_spans_vec
+
+    # message 1 = [0x08, 0x96, 0x81] — field 1 varint whose bytes all
+    # carry the continuation bit up to the message end (truncated);
+    # message 2 = [0x01, 0x08, 0x05] — starts with the byte that would
+    # "complete" message 1's varint if the scan ignored the boundary
+    b = np.frombuffer(bytes([0x08, 0x96, 0x81, 0x01, 0x08, 0x05]), dtype=np.uint8)
+    starts = np.array([0, 3], dtype=np.int64)
+    ends = np.array([3, 6], dtype=np.int64)
+    with pytest.raises(ValueError, match="boundary|truncated"):
+        _scan_spans_vec(b, starts, ends, packed_fields=(), varint_fields=(1,), msg_fields=())
+
+    # sanity: the same bytes split at the true varint end parse fine
+    starts_ok = np.array([0, 4], dtype=np.int64)
+    ends_ok = np.array([4, 6], dtype=np.int64)
+    vals, present, _ = _scan_spans_vec(
+        b, starts_ok, ends_ok, packed_fields=(), varint_fields=(1,), msg_fields=()
+    )
+    assert present[1].all()
+    assert vals[1][1] == 5

@@ -63,6 +63,34 @@ def sweep_corpus(spark, n_vecs: int, n_q: int, radii=(0, 1, 2)) -> dict:
         # 100-TB deployment
         "max_bucket_mb": round(int(stats["max_bucket_rows"]) * vec_bytes / 1e6, 2),
     }
+    # REFINED census (round-6): the coarse numbers above describe the
+    # pre-refinement keys only — what lsh_topk actually joins on is the
+    # refined key (hot buckets re-keyed with the reserve sign bits, the
+    # exact _with_key construction), so THIS census is the real
+    # candidate-list/shard bound at scale
+    hot = census.where(F.col("count") > 4000).select("_bucket", F.lit(True).alias("_hot"))
+    refined = (
+        bucketed.join(F.broadcast(hot), "_bucket", "left")
+        .withColumn(
+            "_key",
+            F.when(F.col("_hot").isNotNull(), F.col("_pk")).otherwise(F.col("_bucket")),
+        )
+        .groupBy("_key")
+        .count()
+    )
+    rstats = refined.agg(
+        F.count("*").alias("n_keys"),
+        F.max("count").alias("max_rows"),
+        F.sum(F.when(F.col("count") > 4000, 1).otherwise(0)).alias("gt_4000"),
+        F.sum(F.when(F.col("count") > 8000, 1).otherwise(0)).alias("gt_8000"),
+    ).first()
+    out["refined_census"] = {
+        "n_keys": rstats["n_keys"],
+        "max_bucket_rows": int(rstats["max_rows"]),
+        "buckets_gt_4000": int(rstats["gt_4000"]),
+        "buckets_gt_8000": int(rstats["gt_8000"]),
+        "max_bucket_mb": round(int(rstats["max_rows"]) * vec_bytes / 1e6, 2),
+    }
     census.unpersist()
     for radius in radii:
         ann = lambda: simsearch.lsh_topk(
