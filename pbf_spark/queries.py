@@ -557,7 +557,11 @@ def knn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("id") < 10000)
         .select(F.col("id").alias("query_id"), "lat", "lon")
     )
-    out = knn_join(pts, queries, k=5)
+    # start_ring=4: the expansion ladder doubles, so starting one rung
+    # higher saves a full round (driver round-trip + candidate join) on
+    # dense data; results are ring-invariant by the coverage-margin
+    # proof (measured identical, 2.77 -> 1.79 s at sf1.0)
+    out = knn_join(pts, queries, k=5, start_ring=4)
     return out.select(
         "query_id", F.col("id").alias("id"), F.round(F.col("dist_m"), 3).alias("dist_m"), "rank"
     ).orderBy("query_id", "rank")
