@@ -981,7 +981,12 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, la, lo) for i, (la, lo) in enumerate(POLYGON)],
         "query_id int, lat double, lon double",
     )
-    out = range_join(pts, centers, radius_m=3000.0)
+    # max_ring=8 lets the auto-resolution pick one level finer (res 8
+    # instead of 7), halving the candidate volume (812k -> 416k rows at
+    # sf1.0) for a few hundred more prefilter cells per query; results
+    # are resolution-invariant (superset prefilter + exact refine,
+    # verified byte-equal): 3.32 -> 2.44 s
+    out = range_join(pts, centers, radius_m=3000.0, max_ring=8)
     return out.select(
         "query_id", "id", F.round(F.col("dist_m"), 3).alias("dist_m")
     ).orderBy("query_id", "id")
