@@ -71,11 +71,23 @@ def minhash_signature(
     cols = []
     for k in range(n_hashes):
         i, off = divmod(k, 2)
-        cols.append(
-            F.expr(
-                f"array_min(transform(_d{i}, d -> substring(d, {1 + 16 * off}, 16)))"
-            ).alias(f"mh_{k}")
-        )
+        if off == 0:
+            # md5 hex digests are FIXED length, so lexicographic order
+            # on the full strings is decided by the first differing
+            # char: min-of-prefixes == prefix-of-min. Taking array_min
+            # over the raw digests skips one substring transform (18M
+            # small-string allocations per 1M docs) per even hash —
+            # verified value-identical at 1M docs. The odd hashes are
+            # the BACK half (not a prefix), so they keep the transform.
+            cols.append(
+                F.expr(f"substring(array_min(_d{i}), 1, 16)").alias(f"mh_{k}")
+            )
+        else:
+            cols.append(
+                F.expr(
+                    f"array_min(transform(_d{i}, d -> substring(d, {1 + 16 * off}, 16)))"
+                ).alias(f"mh_{k}")
+            )
     return out.select(F.col(id_col), *cols)
 
 
